@@ -1,0 +1,92 @@
+"""MATLAB-style volumetric SSIM as a fused separable XLA reduction.
+
+Reproduces ``ssim_matlab`` (models/pytorch_msssim/__init__.py:83-136): RGB
+treated as a 3-D volume, an 11x11x11 gaussian window (sigma 1.5) applied via
+conv3d after replicate padding of 5 on (C, H, W).
+
+The 3-D gaussian is an outer product of a normalized 1-D gaussian
+(create_window_3d, __init__.py:21-26), so the conv3d factorizes into three
+1-D convolutions — ~33 multiplies per voxel instead of 1331, all dense VPU
+work on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_kernel(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(window_size, dtype=np.float64)
+    g = np.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _conv1d_along(x: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
+    """'Valid' 1-D correlation along ``axis`` of an arbitrary-rank tensor."""
+    k = kernel.shape[0]
+    x = jnp.moveaxis(x, axis, -1)
+    lead = x.shape[:-1]
+    length = x.shape[-1]
+    flat = x.reshape(-1, 1, length)  # (batch, feature=1, spatial)
+    out = jax.lax.conv_general_dilated(
+        flat,
+        kernel.reshape(1, 1, k),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    out = out.reshape(*lead, length - k + 1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _gauss3d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Separable 11^3 gaussian filter over (C,H,W) of (N,C,H,W) with
+    replicate ('edge') padding of 5 on every filtered axis."""
+    pad = kernel.shape[0] // 2
+    x = jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad), (pad, pad)), mode="edge"
+    )
+    x = _conv1d_along(x, kernel, axis=1)
+    x = _conv1d_along(x, kernel, axis=2)
+    x = _conv1d_along(x, kernel, axis=3)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("val_range",))
+def ssim_matlab(img1: jax.Array, img2: jax.Array, val_range: float | None = None) -> jax.Array:
+    """Scalar volumetric SSIM of two NHWC images.
+
+    ``val_range=None`` applies the reference's auto detection
+    (__init__.py:84-97): L = 255 if max > 128 else 1; min < -0.5 widens to 2.
+    Inputs in this pipeline are always [0, 1] floats, so L = 1.
+    """
+    x = jnp.moveaxis(img1.astype(jnp.float32), -1, 1)  # N,C,H,W volume
+    y = jnp.moveaxis(img2.astype(jnp.float32), -1, 1)
+
+    if val_range is None:
+        max_val = jnp.where(jnp.max(x) > 128.0, 255.0, 1.0)
+        min_val = jnp.where(jnp.min(x) < -0.5, -1.0, 0.0)
+        L = max_val - min_val
+    else:
+        L = jnp.float32(val_range)
+
+    k = jnp.asarray(_gaussian_kernel())
+    mu1 = _gauss3d(x, k)
+    mu2 = _gauss3d(y, k)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _gauss3d(x * x, k) - mu1_sq
+    sigma2_sq = _gauss3d(y * y, k) - mu2_sq
+    sigma12 = _gauss3d(x * y, k) - mu1_mu2
+
+    c1 = (0.01 * L) ** 2
+    c2 = (0.03 * L) ** 2
+    v1 = 2.0 * sigma12 + c2
+    v2 = sigma1_sq + sigma2_sq + c2
+    ssim_map = ((2 * mu1_mu2 + c1) * v1) / ((mu1_sq + mu2_sq + c1) * v2)
+    return jnp.mean(ssim_map)

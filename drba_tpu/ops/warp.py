@@ -1,0 +1,98 @@
+"""Backward warping (grid-sample) as pure XLA gathers.
+
+Reproduces the semantics of the reference's two backward-warp flavors:
+  * RIFE warplayer: bilinear, ``padding_mode='border'``, ``align_corners=True``
+    (models/rife_426_heavy/warplayer.py:8-22)
+  * MetricNet backwarp / GMFlow flow_warp: bilinear, ``padding_mode='zeros'``,
+    ``align_corners=True`` (models/model_gmfss/MetricNet.py:10-20,
+    models/gmflow/geometry.py:53-84)
+
+Both normalize flow to [-1, 1] with the ``(size-1)/2`` align-corners factor,
+which cancels against the de-normalization — so sampling positions are simply
+``pixel + flow`` in pixel units. We gather the four corners with clamped
+indices and zero the weights of out-of-bounds corners in 'zeros' mode
+(matching torch's per-corner OOB handling).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """img (N,H,W,C), iy/ix (N,Ho,Wo) int32 in-range -> (N,Ho,Wo,C)."""
+    n, h, w, c = img.shape
+    flat = img.reshape(n, h * w, c)
+    idx = iy * w + ix  # (N, Ho, Wo)
+    return jnp.take_along_axis(flat, idx.reshape(n, -1, 1), axis=1).reshape(
+        n, *iy.shape[1:], c
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode",))
+def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: str) -> jax.Array:
+    """Bilinear sample of img (N,H,W,C) at pixel coords px/py (N,Ho,Wo)."""
+    n, h, w, c = img.shape
+    compute = jnp.float32
+    px = px.astype(compute)
+    py = py.astype(compute)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out = None
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        ix = x0i + dx
+        iy = y0i + dy
+        wgt = (wx if dx else (1 - wx)) * (wy if dy else (1 - wy))
+        if padding_mode == "zeros":
+            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            wgt = jnp.where(valid, wgt, 0.0)
+        ixc = jnp.clip(ix, 0, w - 1)
+        iyc = jnp.clip(iy, 0, h - 1)
+        v = _gather2d(img, iyc, ixc).astype(compute) * wgt[..., None]
+        out = v if out is None else out + v
+    return out.astype(img.dtype)
+
+
+def backwarp(img: jax.Array, flow: jax.Array, padding_mode: str = "border") -> jax.Array:
+    """Backward-warp ``img`` by ``flow`` (both NHWC; flow (N,H,W,2) pixels).
+
+    ``out[y, x] = img[y + flow_v, x + flow_u]`` bilinearly sampled.
+    """
+    n, h, w, _ = flow.shape
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    px = gx + flow[..., 0].astype(jnp.float32)
+    py = gy + flow[..., 1].astype(jnp.float32)
+    return _sample_pixels(img, px, py, padding_mode)
+
+
+def grid_sample(
+    img: jax.Array,
+    grid: jax.Array,
+    padding_mode: str = "zeros",
+    align_corners: bool = True,
+) -> jax.Array:
+    """torch ``F.grid_sample`` equivalent: grid (N,Ho,Wo,2) normalized [-1,1].
+
+    Used by the local-correlation window sampler
+    (models/gmflow/matching.py:67-69).
+    """
+    n, h, w, c = img.shape
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        px = (gx + 1) * 0.5 * (w - 1)
+        py = (gy + 1) * 0.5 * (h - 1)
+    else:
+        px = ((gx + 1) * w - 1) * 0.5
+        py = ((gy + 1) * h - 1) * 0.5
+    return _sample_pixels(img, px, py, padding_mode)

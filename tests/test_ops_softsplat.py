@@ -1,0 +1,94 @@
+"""Softsplat forward-warp vs a direct numpy realization of the spec.
+
+The oracle below implements the documented scatter semantics
+(models/softsplat/softsplat_torch.py:70-179) with plain python loops —
+slow but unambiguous.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from drba_tpu.ops import softsplat
+
+RNG = np.random.default_rng(7)
+
+
+def _oracle_splat(ten, flow):
+    n, h, w, c = ten.shape
+    out = np.zeros_like(ten, dtype=np.float64)
+    for b in range(n):
+        for y in range(h):
+            for x in range(w):
+                fx = x + flow[b, y, x, 0]
+                fy = y + flow[b, y, x, 1]
+                if not (np.isfinite(fx) and np.isfinite(fy)):
+                    continue
+                x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        xi, yi = x0 + dx, y0 + dy
+                        if 0 <= xi < w and 0 <= yi < h:
+                            wx = fx - x0 if dx else 1 - (fx - x0)
+                            wy = fy - y0 if dy else 1 - (fy - y0)
+                            out[b, yi, xi] += ten[b, y, x] * (wx * wy)
+    return out.astype(np.float32)
+
+
+def _oracle(ten, flow, metric, mode):
+    main = mode.split("-")[0]
+    sub = mode.split("-")[1] if "-" in mode else None
+    if main == "avg":
+        ten = np.concatenate([ten, np.ones_like(ten[..., :1])], -1)
+    elif main == "linear":
+        ten = np.concatenate([ten * metric, metric], -1)
+    elif main == "soft":
+        e = np.exp(metric)
+        ten = np.concatenate([ten * e, e], -1)
+    out = _oracle_splat(ten, flow)
+    if main == "sum":
+        return out
+    norm = out[..., -1:]
+    if sub in (None, "addeps"):
+        norm = norm + 1e-7
+    elif sub == "zeroeps":
+        norm = np.where(norm == 0.0, 1.0, norm)
+    elif sub == "clipeps":
+        norm = np.clip(norm, 1e-7, None)
+    return out[..., :-1] / norm
+
+
+@pytest.mark.parametrize("backend", ["scatter", "sort"])
+@pytest.mark.parametrize("mode", ["sum", "avg", "soft", "linear", "avg-zeroeps"])
+def test_softsplat_modes(backend, mode):
+    n, h, w, c = 2, 13, 17, 3
+    ten = RNG.standard_normal((n, h, w, c), dtype=np.float32)
+    flow = (RNG.standard_normal((n, h, w, 2)) * 4).astype(np.float32)
+    metric = None
+    m_np = None
+    if mode.split("-")[0] in ("linear", "soft"):
+        m_np = RNG.standard_normal((n, h, w, 1), dtype=np.float32)
+        metric = jnp.asarray(m_np)
+    want = _oracle(ten, flow, m_np, mode)
+    got = np.asarray(
+        softsplat(jnp.asarray(ten), jnp.asarray(flow), metric, mode, backend=backend)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("backend", ["scatter", "sort"])
+def test_softsplat_identity_flow(backend):
+    # Zero flow must reproduce the input exactly under 'avg'.
+    x = RNG.standard_normal((1, 8, 8, 2), dtype=np.float32)
+    out = softsplat(jnp.asarray(x), jnp.zeros((1, 8, 8, 2)), None, "avg", backend=backend)
+    np.testing.assert_allclose(np.asarray(out), x, rtol=1e-5, atol=1e-5)
+
+
+def test_softsplat_nonfinite_dropped():
+    x = np.ones((1, 4, 4, 1), np.float32)
+    flow = np.zeros((1, 4, 4, 2), np.float32)
+    flow[0, 0, 0, 0] = np.nan
+    out = np.asarray(softsplat(jnp.asarray(x), jnp.asarray(flow), None, "sum"))
+    assert out[0, 0, 0, 0] == 0.0
+    assert out[0, 1, 1, 0] == 1.0
