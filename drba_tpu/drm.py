@@ -1,0 +1,195 @@
+"""Distance Ratio Map (DRM) — the paper's core contribution, TPU-first.
+
+Reproduces the semantics of models/drm.py:
+  * distance maps from bidirectional flow magnitude -> ratio maps
+    ``d10/(d10+d12)`` (drm.py:67-72);
+  * linear retiming ``drm * t * 2`` (always used by the reference driver:
+    infer.py:143 passes linear=True) or nonlinear retiming by coupled
+    bisection (``get_drm_t``, drm.py:10-62);
+  * forward-warp alignment of the retimed maps to the intermediate-frame
+    time plus ones-mask hole detection (< 0.999) and hole fill
+    (drm.py:89-102, 132-148).
+
+Design differences from the reference (deliberate, TPU-first):
+  * all hole fills are ``jnp.where`` selects, no boolean-mask mutation;
+  * the bisection's scalar (l, r, x, branch) schedule depends only on the
+    target ``t``; when ``t`` is a concrete python float the loop unrolls at
+    trace time into ~10 fused vector ops; a traced fallback runs a fixed
+    32-iteration ``lax.while_loop`` identical in math;
+  * everything is batched over the timestep axis by ``vmap`` at the model
+    layer — one XLA program per window instead of one kernel chain per t.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.ops import flow_distance, softsplat
+
+
+def get_drm_t(drm: jax.Array, t, precision: float = 1e-3) -> jax.Array:
+    """Nonlinearly retime a ratio map to target time ``t`` (drm.py:10-62).
+
+    The whole map, whose collective "time" is defined as 0.5, is driven
+    toward ``t`` by a coupled bisection: the scalar trajectory
+    ``x <- x -+ (x - l|r) * 0.5`` is mirrored element-wise with per-pixel
+    step ``b = drm``. Values keep their original proportions.
+    """
+    dtype = drm.dtype
+    x_drm = drm.astype(jnp.float32)
+    b_drm = drm.astype(jnp.float32)
+    l_drm = jnp.zeros_like(x_drm)
+    r_drm = jnp.ones_like(x_drm)
+
+    if isinstance(t, (int, float)):
+        # Concrete target: unroll the data-independent scalar schedule.
+        x, lo, hi = 0.5, 0.0, 1.0
+        while abs(x - t) > precision:
+            if x > t:
+                hi = x
+                x = x - (x - lo) * 0.5
+                r_drm = x_drm
+                x_drm = x_drm - (x_drm - l_drm) * b_drm
+            if x < t:
+                lo = x
+                x = x + (hi - x) * 0.5
+                l_drm = x_drm
+                x_drm = x_drm + (r_drm - x_drm) * b_drm
+        return x_drm.astype(dtype)
+
+    # Traced target: fixed-trip-count loop (2^-32 << any useful precision).
+    def body(state):
+        x, lo, hi, x_d, l_d, r_d = state
+        gt = x > t
+        hi2 = jnp.where(gt, x, hi)
+        x2 = jnp.where(gt, x - (x - lo) * 0.5, x)
+        r_d2 = jnp.where(gt, x_d, r_d)
+        x_d2 = jnp.where(gt, x_d - (x_d - l_d) * b_drm, x_d)
+
+        lt = x2 < t
+        lo2 = jnp.where(lt, x2, lo)
+        x3 = jnp.where(lt, x2 + (hi2 - x2) * 0.5, x2)
+        l_d2 = jnp.where(lt, x_d2, l_d)
+        x_d3 = jnp.where(lt, x_d2 + (r_d2 - x_d2) * b_drm, x_d2)
+        return x3, lo2, hi2, x_d3, l_d2, r_d2
+
+    def cond(state):
+        return jnp.abs(state[0] - t) > precision
+
+    t = jnp.float32(t)
+    init = (jnp.float32(0.5), jnp.float32(0.0), jnp.float32(1.0), x_drm, l_drm, r_drm)
+    out = jax.lax.while_loop(cond, body, init)
+    return out[3].astype(dtype)
+
+
+def _ratio_maps(flow10: jax.Array, flow12: jax.Array, eps: float):
+    d10 = flow_distance(flow10).astype(jnp.float32) + eps
+    d12 = flow_distance(flow12).astype(jnp.float32) + eps
+    denom = d10 + d12
+    return d10 / denom, d12 / denom
+
+
+def _retime(drm: jax.Array, t, linear: bool) -> jax.Array:
+    return drm * t * 2 if linear else get_drm_t(drm, t)
+
+
+def _hole_fill(warped: jax.Array, warped_ones: jax.Array, fallback: jax.Array) -> jax.Array:
+    """Replace pixels whose warped coverage < 0.999 (drm.py:98-102)."""
+    return jnp.where(warped_ones < 0.999, fallback, warped)
+
+
+class DrmRife(NamedTuple):
+    drm_t1_t01: jax.Array
+    drm_t1_t12: jax.Array
+
+
+def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False) -> DrmRife:
+    """DRM timestep maps for the RIFE (backward-warp) path (drm.py:65-107).
+
+    RIFE consumes the DRM as a per-pixel timestep, aligned to the
+    intermediate frame's time by forward-warping along ``flow * drm``.
+    """
+    drm10, drm12 = _ratio_maps(flow10, flow12, eps=1e-4)
+    drm_t0 = _retime(drm10, t, linear)
+    drm_t1 = _retime(drm12, t, linear)
+
+    ones = jnp.ones_like(drm10)
+    w01 = softsplat(drm_t1, flow10 * drm_t1, None, "avg")
+    w12 = softsplat(drm_t0, flow12 * drm_t0, None, "avg")
+    m01 = softsplat(ones, flow10 * drm_t1, None, "avg")
+    m12 = softsplat(ones, flow12 * drm_t0, None, "avg")
+
+    return DrmRife(
+        drm_t1_t01=_hole_fill(w01, m01, drm_t1),
+        drm_t1_t12=_hole_fill(w12, m12, drm_t0),
+    )
+
+
+class DrmGmfss(NamedTuple):
+    drm0t_t01: jax.Array
+    drm1t_t01: jax.Array
+    drm1t_t12: jax.Array
+    drm2t_t12: jax.Array
+
+
+def calc_drm_gmfss(
+    t,
+    flow10: jax.Array,
+    flow12: jax.Array,
+    metric10: jax.Array | None,
+    metric12: jax.Array | None,
+    linear: bool = False,
+) -> DrmGmfss:
+    """DRM timestep maps for the GMFSS (forward-warp) path (drm.py:110-155)."""
+    drm10, drm12 = _ratio_maps(flow10, flow12, eps=0.0)
+    drm1t_t01 = _retime(drm12, t, linear)
+    drm1t_t12 = _retime(drm10, t, linear)
+    drm0t_u = 1.0 - drm1t_t01
+    drm2t_u = 1.0 - drm1t_t12
+
+    mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
+    ones = jnp.ones_like(drm10)
+    w0 = softsplat(drm0t_u, flow10, metric10, mode)
+    w2 = softsplat(drm2t_u, flow12, metric12, mode)
+    m0 = softsplat(ones, flow10, metric10, mode)
+    m2 = softsplat(ones, flow12, metric12, mode)
+
+    return DrmGmfss(
+        drm0t_t01=_hole_fill(w0, m0, drm0t_u),
+        drm1t_t01=drm1t_t01,
+        drm1t_t12=drm1t_t12,
+        drm2t_t12=_hole_fill(w2, m2, drm2t_u),
+    )
+
+
+def calc_drm_rife_auxiliary(
+    t,
+    flow10: jax.Array,
+    flow12: jax.Array,
+    metric10: jax.Array | None,
+    metric12: jax.Array | None,
+    linear: bool = False,
+) -> DrmRife:
+    """DRM maps for the auxiliary RIFE inside GMFSS_UNION (drm.py:158-195).
+
+    Same as :func:`calc_drm_rife` but metric-weighted ('soft') warping when
+    metrics are available.
+    """
+    drm10, drm12 = _ratio_maps(flow10, flow12, eps=1e-4)
+    drm_t0 = _retime(drm10, t, linear)
+    drm_t1 = _retime(drm12, t, linear)
+
+    mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
+    ones = jnp.ones_like(drm10)
+    w01 = softsplat(drm_t1, flow10 * drm_t1, metric10, mode)
+    w12 = softsplat(drm_t0, flow12 * drm_t0, metric12, mode)
+    m01 = softsplat(ones, flow10 * drm_t1, metric10, mode)
+    m12 = softsplat(ones, flow12 * drm_t0, metric12, mode)
+
+    return DrmRife(
+        drm_t1_t01=_hole_fill(w01, m01, drm_t1),
+        drm_t1_t12=_hole_fill(w12, m12, drm_t0),
+    )

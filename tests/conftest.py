@@ -46,4 +46,13 @@ def reference_path():
         pytest.skip("reference repo not mounted")
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    # torchvision isn't installed; the reference only uses it for a debug
+    # text-overlay helper, so a stub is enough for import.
+    if "torchvision" not in sys.modules:
+        import types
+
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
     return REFERENCE_ROOT
