@@ -1,0 +1,139 @@
+"""IFNet 4.26-heavy (RIFE's flow/fusion network) in functional JAX.
+
+Architecture reproduced from models/rife_426_heavy/IFNet_HDv3.py:
+  * ``Head`` encoder: 3 convs + transposed conv, 16ch (IFNet_HDv3.py:28-47);
+  * 5 coarse-to-fine ``IFBlock``s (c=192/128/96/64/32): stride-4 conv0 ->
+    8x ResConv with learned per-channel beta -> ConvTranspose + PixelShuffle
+    to 4ch flow + 1ch mask + 8ch feat (IFNet_HDv3.py:62-96);
+  * per-stage backward warp of images and encoder features, sigmoid-mask
+    merge (IFNet_HDv3.py:126-177). Accepts per-pixel tensor timesteps
+    (IFNet_HDv3.py:131-132) — the DRM hook.
+
+The five-stage python loop unrolls at trace time into one fused XLA program;
+all resizes are static-shape bilinear (align_corners=False, matching
+``F.interpolate`` in IFBlock.forward at IFNet_HDv3.py:85-92).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.models.layers import Params, conv2d, conv_transpose2d, leaky_relu
+from drba_tpu.ops import backwarp, pixel_shuffle
+from drba_tpu.ops.resize import resize_bilinear
+
+BLOCK_CHANNELS = (192, 128, 96, 64, 32)
+BLOCK_IN = (7 + 32, 8 + 4 + 8 + 32, 8 + 4 + 8 + 32, 8 + 4 + 8 + 32, 8 + 4 + 8 + 32)
+
+
+def build_spec() -> dict:
+    """Param spec with torch state-dict key names (converter contract)."""
+    spec = {}
+    # Head encoder
+    spec["encode.cnn0.weight"] = ("conv", 3, 3, 3, 16)
+    spec["encode.cnn0.bias"] = ("bias", 16)
+    spec["encode.cnn1.weight"] = ("conv", 3, 3, 16, 16)
+    spec["encode.cnn1.bias"] = ("bias", 16)
+    spec["encode.cnn2.weight"] = ("conv", 3, 3, 16, 16)
+    spec["encode.cnn2.bias"] = ("bias", 16)
+    spec["encode.cnn3.weight"] = ("convT", 4, 4, 16, 16)
+    spec["encode.cnn3.bias"] = ("bias", 16)
+    for i, (cin, c) in enumerate(zip(BLOCK_IN, BLOCK_CHANNELS)):
+        b = f"block{i}"
+        cin_total = cin if i == 0 else cin + 4  # later blocks concat flow
+        spec[f"{b}.conv0.0.0.weight"] = ("conv", 3, 3, cin_total, c // 2)
+        spec[f"{b}.conv0.0.0.bias"] = ("bias", c // 2)
+        spec[f"{b}.conv0.1.0.weight"] = ("conv", 3, 3, c // 2, c)
+        spec[f"{b}.conv0.1.0.bias"] = ("bias", c)
+        for j in range(8):
+            spec[f"{b}.convblock.{j}.conv.weight"] = ("conv", 3, 3, c, c)
+            spec[f"{b}.convblock.{j}.conv.bias"] = ("bias", c)
+            spec[f"{b}.convblock.{j}.beta"] = ("ones", (c,))
+        spec[f"{b}.lastconv.0.weight"] = ("convT", 4, 4, c, 4 * 13)
+        spec[f"{b}.lastconv.0.bias"] = ("bias", 4 * 13)
+    return spec
+
+
+IFNET_SPEC = build_spec()
+
+
+def ifnet_encode(p: Params, img: jax.Array) -> jax.Array:
+    """Head feature encoder (IFNet_HDv3.py:37-47)."""
+    x = conv2d(p, "encode.cnn0", img, stride=2, padding=1)
+    x = conv2d(p, "encode.cnn1", leaky_relu(x), stride=1, padding=1)
+    x = conv2d(p, "encode.cnn2", leaky_relu(x), stride=1, padding=1)
+    x = conv_transpose2d(p, "encode.cnn3", leaky_relu(x), stride=2, padding=1)
+    return x
+
+
+def ifnet_block(
+    p: Params, idx: int, x: jax.Array, flow: jax.Array | None, scale: float
+):
+    """One IFBlock at pyramid scale ``scale`` (IFNet_HDv3.py:84-96)."""
+    b = f"block{idx}"
+    n, h, w, _ = x.shape
+    hs, ws = int(h / scale), int(w / scale)
+    x = resize_bilinear(x, (hs, ws))
+    if flow is not None:
+        flow = resize_bilinear(flow, (hs, ws)) * (1.0 / scale)
+        x = jnp.concatenate([x, flow], axis=-1)
+
+    feat = leaky_relu(conv2d(p, f"{b}.conv0.0.0", x, stride=2, padding=1))
+    feat = leaky_relu(conv2d(p, f"{b}.conv0.1.0", feat, stride=2, padding=1))
+    for j in range(8):
+        beta = p[f"{b}.convblock.{j}.beta"].astype(feat.dtype)
+        feat = leaky_relu(conv2d(p, f"{b}.convblock.{j}.conv", feat, padding=1) * beta + feat)
+    tmp = conv_transpose2d(p, f"{b}.lastconv.0", feat, stride=2, padding=1)
+    tmp = pixel_shuffle(tmp, 2)
+    tmp = resize_bilinear(tmp, (h, w))
+    out_flow = tmp[..., :4] * scale
+    mask = tmp[..., 4:5]
+    feat_out = tmp[..., 5:]
+    return out_flow, mask, feat_out
+
+
+def ifnet_apply(
+    p: Params,
+    img0: jax.Array,
+    img1: jax.Array,
+    timestep: jax.Array,
+    scale_list: tuple[float, ...],
+    f0: jax.Array | None = None,
+    f1: jax.Array | None = None,
+):
+    """Full 5-stage inference (IFNet_HDv3.py:126-177).
+
+    ``timestep`` is an (N,H,W,1) map — scalars are broadcast by the caller.
+    Returns (merged_frame, flow_list).
+    """
+    if f0 is None:
+        f0 = ifnet_encode(p, img0[..., :3])
+    if f1 is None:
+        f1 = ifnet_encode(p, img1[..., :3])
+
+    flow = None
+    mask = None
+    feat = None
+    warped_img0, warped_img1 = img0, img1
+    flow_list = []
+    for i in range(5):
+        if flow is None:
+            x = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, timestep], axis=-1)
+            flow, mask, feat = ifnet_block(p, i, x, None, scale_list[i])
+        else:
+            wf0 = backwarp(f0, flow[..., 0:2])
+            wf1 = backwarp(f1, flow[..., 2:4])
+            x = jnp.concatenate(
+                [warped_img0[..., :3], warped_img1[..., :3], wf0, wf1, timestep, mask, feat],
+                axis=-1,
+            )
+            fd, mask, feat = ifnet_block(p, i, x, flow, scale_list[i])
+            flow = flow + fd
+        flow_list.append(flow)
+        warped_img0 = backwarp(img0, flow[..., 0:2])
+        warped_img1 = backwarp(img1, flow[..., 2:4])
+
+    m = jax.nn.sigmoid(mask.astype(jnp.float32)).astype(img0.dtype)
+    merged = warped_img0 * m + warped_img1 * (1 - m)
+    return merged, flow_list
