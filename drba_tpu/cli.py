@@ -1,0 +1,103 @@
+"""CLI driver — flag-compatible with the reference (infer.py:18-36).
+
+Usage:
+  python -m drba_tpu.cli -m {rife,gmfss,gmfss_union} -i in.mp4 -o out.mp4 \\
+      -fps 60 [-t N] [-s] [-st 0.3] [-hw] [-scale 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from tqdm import tqdm
+
+import jax.numpy as jnp
+
+from drba_tpu.config import Config
+from drba_tpu.pipeline import run_pipeline
+from drba_tpu.utils.video_io import VideoFI_IO
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Interpolate a video with DRBA (TPU-native)")
+    p.add_argument("-m", "--model_type", dest="model_type", type=str, default="rife",
+                   help="model network type, one of rife/gmfss/gmfss_union")
+    p.add_argument("-i", "--input", dest="input", type=str, default="input.mp4",
+                   help="path of the input video")
+    p.add_argument("-o", "--output", dest="output", type=str, default="output.mp4",
+                   help="path of the output video")
+    p.add_argument("-fps", "--dst_fps", dest="dst_fps", type=float, default=60,
+                   help="interpolate to this fps")
+    p.add_argument("-t", "--times", dest="times", type=int, default=-1,
+                   help="interpolate to N x source fps")
+    p.add_argument("-s", "--enable_scdet", dest="enable_scdet", action="store_true",
+                   default=False, help="enable scene change detection")
+    p.add_argument("-st", "--scdet_threshold", dest="scdet_threshold", type=float,
+                   default=0.3, help="ssim scene detection threshold")
+    p.add_argument("-hw", "--hwaccel", dest="hwaccel", action="store_true", default=False,
+                   help="hardware-accelerated encode (passed through to ffmpeg when present)")
+    p.add_argument("-scale", "--scale", dest="scale", type=float, default=1.0,
+                   help="flow scale: 1.0 at 1080p, 0.5 at 4K")
+    p.add_argument("--weights", dest="weights", type=str, default="weights",
+                   help="weights root directory (train_log_* subdirs)")
+    p.add_argument("--fp32", dest="fp32", action="store_true", default=False,
+                   help="compute in float32 instead of bfloat16")
+    return p.parse_args(argv)
+
+
+def load_model(model_type: str, weights_root: str, scale: float, config: Config):
+    """Model registry (reference: infer.py:39-55)."""
+    def wdir(name):
+        d = os.path.join(weights_root, name)
+        return d if os.path.isdir(d) else None
+
+    if model_type == "rife":
+        from drba_tpu.models.rife import RIFE
+
+        return RIFE(weights=wdir("train_log_rife_426_heavy"), scale=scale, config=config)
+    if model_type == "gmfss":
+        from drba_tpu.models.gmfss import GMFSS
+
+        return GMFSS(weights=wdir("train_log_gmfss"), scale=scale, config=config)
+    if model_type == "gmfss_union":
+        from drba_tpu.models.gmfss_union import GMFSS_UNION
+
+        return GMFSS_UNION(weights=wdir("train_log_gmfss_union"), scale=scale, config=config)
+    raise ValueError(f"model_type must be one of rife/gmfss/gmfss_union, got {model_type}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if not os.path.exists(args.input):
+        raise FileNotFoundError(f"can't find the video file {args.input}")
+
+    config = Config(
+        compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        flow_scale=args.scale,
+        scdet_threshold=args.scdet_threshold,
+    )
+    model = load_model(args.model_type, args.weights, args.scale, config)
+
+    video_io = VideoFI_IO(
+        args.input, args.output, dst_fps=args.dst_fps, times=args.times, hwaccel=args.hwaccel
+    )
+    pbar = tqdm(total=video_io.total_frames_count)
+    stats = run_pipeline(
+        model,
+        video_io,
+        enable_scdet=args.enable_scdet,
+        scdet_threshold=args.scdet_threshold,
+        progress=pbar.update,
+        times=args.times,
+    )
+    pbar.close()
+    print(
+        f"done: {stats.frames_in} frames in, {stats.frames_out} frames out, "
+        f"{stats.windows} windows, {stats.scene_cuts} scene cuts"
+    )
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -41,8 +41,9 @@ def build_spec() -> dict:
     spec["encode.cnn3.bias"] = ("bias", 16)
     for i, (cin, c) in enumerate(zip(BLOCK_IN, BLOCK_CHANNELS)):
         b = f"block{i}"
-        cin_total = cin if i == 0 else cin + 4  # later blocks concat flow
-        spec[f"{b}.conv0.0.0.weight"] = ("conv", 3, 3, cin_total, c // 2)
+        # in_planes already counts the 4 flow channels concatenated in
+        # IFBlock.forward for blocks 1-4 (IFNet_HDv3.py:86-88,102-106)
+        spec[f"{b}.conv0.0.0.weight"] = ("conv", 3, 3, cin, c // 2)
         spec[f"{b}.conv0.0.0.bias"] = ("bias", c // 2)
         spec[f"{b}.conv0.1.0.weight"] = ("conv", 3, 3, c // 2, c)
         spec[f"{b}.conv0.1.0.bias"] = ("bias", c)

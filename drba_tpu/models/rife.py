@@ -1,0 +1,160 @@
+"""RIFE model wrapper — the speed path (models/rife.py).
+
+Uniform model API (shared by GMFSS / GMFSS_UNION):
+  * ``.scale`` / ``.pad_size``
+  * ``inference_ts(I0, I1, ts) -> [frames]``
+  * ``inference_ts_drba(I0, I1, I2, ts, reuse, linear) -> ([frames], reuse)``
+
+TPU-first redesign vs the reference:
+  * the reference loops over timesteps in python, one kernel chain per t
+    (models/rife.py:88-106). Here the whole window is ONE jitted XLA program:
+    timesteps are padded to a static bucket and the per-t computation
+    (DRM maps + IFNet) is ``vmap``-ed over the t axis, so the T per-frame
+    IFNets run as a single batched network evaluation on the MXU;
+  * exact-integer timesteps (t = 0/1/2 emit source frames,
+    models/rife.py:89-95) become masked selects inside the same program;
+  * flow inversion (``calc_flow``, models/rife.py:41-75): bidirectional
+    coarse flow from IFBlock0 only, inverted by forward-splatting the
+    negated flow, holes filled with a ``max(H, W)`` sentinel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.config import Config, DEFAULT
+from drba_tpu.convert import load_network
+from drba_tpu.drm import calc_drm_rife
+from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply, ifnet_block, ifnet_encode
+from drba_tpu.ops import softsplat
+
+
+def _calc_flow(params, a, b, scale0: float, f0=None, f1=None):
+    """Bidirectional full-step flow between a and b (models/rife.py:41-75)."""
+    timestep = jnp.full_like(a[..., :1], 0.5)
+    f0 = ifnet_encode(params, a[..., :3]) if f0 is None else f0
+    f1 = ifnet_encode(params, b[..., :3]) if f1 is None else f1
+    x = jnp.concatenate([a[..., :3], b[..., :3], f0, f1, timestep], axis=-1)
+    flow, _, _ = ifnet_block(params, 0, x, None, scale0)
+
+    flow50 = flow[..., 0:2]  # flow from t=0.5 toward a
+    flow51 = flow[..., 2:4]  # flow from t=0.5 toward b
+
+    flow05 = -softsplat(flow50, flow50, None, "avg")
+    flow15 = -softsplat(flow51, flow51, None, "avg")
+
+    ones = jnp.ones_like(flow50)
+    mask05 = softsplat(ones, flow50, None, "avg")
+    mask15 = softsplat(ones, flow51, None, "avg")
+
+    h, w = a.shape[1], a.shape[2]
+    sentinel = jnp.asarray(float(max(h, w)), flow05.dtype)
+    flow05 = jnp.where(mask05 < 0.999, sentinel, flow05)
+    flow15 = jnp.where(mask15 < 0.999, sentinel, flow15)
+
+    return flow05 * 2, flow15 * 2, f0, f1  # flow_ab, flow_ba, feats
+
+
+def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
+                  scale_list, linear):
+    """Synthesize the frame at window-time ``t`` in [0, 2] (one vmap lane)."""
+    tt = jnp.where(t < 1, 1 - t, t - 1)
+    drm = calc_drm_rife(tt, flow10, flow12, linear=linear)
+
+    left = t < 1
+    imgB = jnp.where(left, I0, I2)
+    fB = jnp.where(left, f0, f2)
+    drm_map = jnp.where(left, drm.drm_t1_t01, drm.drm_t1_t12)
+
+    out, _ = ifnet_apply(
+        params, I1, imgB, drm_map.astype(I1.dtype), scale_list, f0=f1, f1=fB
+    )
+    # integer timesteps pass sources through (models/rife.py:89-95)
+    out = jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale_list", "linear")
+)
+def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
+                 scale_list, linear):
+    """All timesteps of one 3-frame window as a single batched XLA program."""
+    fn = functools.partial(
+        _interp_one_t,
+        params,
+        I0=I0, I1=I1, I2=I2,
+        flow10=flow10, flow12=flow12,
+        f0=f0, f1=f1, f2=f2,
+        scale_list=scale_list, linear=linear,
+    )
+    return jax.vmap(lambda t: fn(t))(ts)  # (T, N, H, W, 3)
+
+
+def _ts_one(params, t, I0, I1, scale_list):
+    tmap = jnp.full_like(I0[..., :1], 0.0) + t
+    out, _ = ifnet_apply(params, I0, I1, tmap.astype(I0.dtype), scale_list)
+    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
+
+
+@functools.partial(jax.jit, static_argnames=("scale_list",))
+def _ts_batch(params, I0, I1, ts, scale_list):
+    return jax.vmap(lambda t: _ts_one(params, t, I0, I1, scale_list))(ts)
+
+
+_flow_jit = jax.jit(_calc_flow, static_argnames=("scale0",))
+
+
+class RIFE:
+    """Speed-path model (reference: models/rife.py:15-109)."""
+
+    def __init__(self, weights: str | None = None, scale: float = 1.0,
+                 config: Config = DEFAULT):
+        self.params = load_network(weights, "flownet.pkl", IFNET_SPEC, seed=config.seed)
+        self.scale = scale
+        self.scale_list = tuple(s / scale for s in (16.0, 8.0, 4.0, 2.0, 1.0))
+        self.pad_size = 64
+        self.config = config
+
+    # -- internal ----------------------------------------------------------
+    def _calc_flow(self, a, b, f0=None, f1=None):
+        return _flow_jit(self.params, a, b, scale0=self.scale_list[0], f0=f0, f1=f1)
+
+    # -- public API --------------------------------------------------------
+    def inference_ts(self, I0, I1, ts: Sequence[float]):
+        """Interpolate at plain timesteps in [0, 1] (models/rife.py:27-39)."""
+        if len(ts) == 0:
+            return []
+        tsv = jnp.asarray(ts, jnp.float32)
+        out = _ts_batch(self.params, I0, I1, tsv, self.scale_list)
+        return [out[i] for i in range(len(ts))]
+
+    def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
+        """DRM-adjusted interpolation over a 3-frame window.
+
+        ``ts`` values live in [0.5, 1.5) (window time, centered on I1).
+        Returns (frames, reuse) where reuse carries the I1<->I2 flow pair and
+        encoder features to the next window (models/rife.py:108-109).
+        """
+        if reuse is not None:
+            flow10, flow01, f1, f0 = reuse
+            flow12, flow21, f1, f2 = self._calc_flow(I1, I2, f0=f1)
+        else:
+            flow10, flow01, f1, f0 = self._calc_flow(I1, I0)
+            flow12, flow21, _, f2 = self._calc_flow(I1, I2, f0=f1)
+
+        frames = []
+        if len(ts) > 0:
+            tsv = jnp.asarray(ts, jnp.float32)
+            out = _drba_window(
+                self.params, I0, I1, I2, tsv, flow10, flow12, f0, f1, f2,
+                self.scale_list, linear,
+            )
+            frames = [out[i] for i in range(len(ts))]
+
+        # next window's (flow10, flow01, f1, f0) = reversed current I1<->I2
+        return frames, (flow21, flow12, f2, f1)

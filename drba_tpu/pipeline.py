@@ -1,0 +1,162 @@
+"""Frame-loop orchestration: sliding 3-frame window with DRM interpolation.
+
+Behavioral spec is the reference driver (infer.py:58-174): head interval,
+body loop over (I0, I1, I2) windows with a 4-way scene-change branch
+(infer.py:122-143), reuse chaining across windows, tail interval.
+
+TPU-first notes:
+  * frames stay HBM-resident across windows — only decoded uint8 frames in
+    and finished uint8 frames out cross the host boundary;
+  * each window is a single jitted program (see models/rife.py), so the
+    python here only routes device arrays and booleans;
+  * scene detection is one fused reduction; its boolean is the only
+    per-window device->host sync besides frame output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+from drba_tpu.utils import TMapper, check_scene, get_valid_net_inp_size, to_inp, to_out
+from drba_tpu.utils.video_io import VideoFI_IO
+
+
+def calc_ts(idx: float, t_mapper: TMapper, times: int) -> np.ndarray:
+    """Window timesteps in [0.5, 1.5) centered on I1 (infer.py:76-91)."""
+    if times != -1:
+        if times % 2:
+            stamps = [(i + 1) / times for i in range((times - 1) // 2)]
+            stamps = list(reversed([1 - t for t in stamps])) + [1] + [t + 1 for t in stamps]
+            return np.array(stamps)
+        stamps = [(i + 0.5) / times for i in range(times // 2)]
+        stamps = list(reversed([1 - t for t in stamps])) + [t + 1 for t in stamps]
+        return np.array(stamps)
+
+    timestamps = np.array(
+        t_mapper.get_range_timestamps(idx - 0.5, idx + 0.5, lclose=True, rclose=False, normalize=False)
+    )
+    return np.round(timestamps - idx, 4) + 1
+
+
+@dataclass
+class PipelineStats:
+    frames_in: int = 0
+    frames_out: int = 0
+    windows: int = 0
+    scene_cuts: int = 0
+
+
+def run_pipeline(
+    model,
+    video_io: VideoFI_IO,
+    enable_scdet: bool = False,
+    scdet_threshold: float = 0.3,
+    progress: Optional[Callable[[int], None]] = None,
+    max_frames: Optional[int] = None,
+    times: int = -1,
+) -> PipelineStats:
+    stats = PipelineStats()
+    src_fps, dst_fps = video_io.src_fps, video_io.dst_fps
+    if dst_fps <= src_fps:
+        raise ValueError(f"dst fps must exceed src fps ({dst_fps} <= {src_fps})")
+
+    i0, i1 = video_io.read_frame(), video_io.read_frame()
+    if i0 is None or i1 is None:
+        raise ValueError("video has fewer than two frames")
+    stats.frames_in = 2
+
+    size = get_valid_net_inp_size(i0, model.scale, div=model.pad_size)
+    src_size, dst_size = size["src_size"], size["dst_size"]
+    dtype = model.config.compute_dtype
+
+    I0 = to_inp(i0, dst_size, dtype)
+    I1 = to_inp(i1, dst_size, dtype)
+
+    t_mapper = TMapper(src_fps, dst_fps, times)
+    idx = 0
+
+    def emit(x):
+        video_io.write_frame(to_out(x, src_size))
+        stats.frames_out += 1
+
+    # ---- head (infer.py:93-110) ------------------------------------------
+    ts = calc_ts(idx, t_mapper, times)
+    left_scene = check_scene(I0, I1, scdet_threshold) if enable_scdet else False
+    right_scene = left_scene
+    reuse = None
+
+    if right_scene:
+        stats.scene_cuts += 1
+        output = [I0 for _ in ts]
+    else:
+        left_ts = ts[ts < 1]
+        right_ts = ts[ts >= 1] - 1
+        output = [I0 for _ in left_ts]
+        output.extend(model.inference_ts(I0, I1, right_ts))
+    for x in output:
+        emit(x)
+    if progress:
+        progress(1)
+
+    # ---- body (infer.py:112-156) -----------------------------------------
+    while True:
+        if max_frames is not None and stats.frames_in >= max_frames:
+            break
+        i2 = video_io.read_frame()
+        if i2 is None:
+            break
+        stats.frames_in += 1
+        I2 = to_inp(i2, dst_size, dtype)
+
+        ts = calc_ts(idx, t_mapper, times)
+        right_scene = check_scene(I1, I2, scdet_threshold) if enable_scdet else False
+        if right_scene:
+            stats.scene_cuts += 1
+
+        if left_scene and right_scene:
+            # cuts on both sides: repeat I1 (infer.py:122-124)
+            output = [I1 for _ in ts]
+            reuse = None
+        elif left_scene:
+            # cut in I0~I1: plain interpolation on the right (infer.py:126-132)
+            left_ts = ts[ts < 1]
+            right_ts = ts[ts >= 1] - 1
+            reuse = None
+            output = [I1 for _ in left_ts]
+            output.extend(model.inference_ts(I1, I2, right_ts))
+        elif right_scene:
+            # cut in I1~I2: plain interpolation on the left (infer.py:134-140)
+            left_ts = ts[ts <= 1]
+            right_ts = ts[ts > 1] - 1
+            reuse = None
+            output = model.inference_ts(I0, I1, left_ts)
+            output.extend([I1 for _ in right_ts])
+        else:
+            output, reuse = model.inference_ts_drba(I0, I1, I2, ts, reuse, linear=True)
+
+        for x in output:
+            emit(x)
+
+        I0, I1 = I1, I2
+        left_scene = right_scene
+        idx += 1
+        stats.windows += 1
+        if progress:
+            progress(1)
+
+    # ---- tail (infer.py:158-169) -----------------------------------------
+    ts = calc_ts(idx, t_mapper, times)
+    left_ts = ts[ts <= 1]
+    right_ts = ts[ts > 1] - 1
+    output = model.inference_ts(I0, I1, left_ts)
+    output.extend([I1 for _ in right_ts])
+    for x in output:
+        emit(x)
+    if progress:
+        progress(1)
+
+    video_io.finish_writing()
+    return stats

@@ -1,0 +1,46 @@
+"""Host<->device image conversion and network-legal sizing.
+
+Mirrors models/utils/tools.py:33-72 with NHWC layout:
+  * frames enter as HWC uint8 (BGR from the decoder), leave the same way;
+  * network-legal size: (H, W) scaled so that ``dim * scale`` is a multiple
+    of the model's pad size, reached by bilinear RESIZE (not zero-pad),
+    exactly like ``get_valid_net_inp_size`` (tools.py:41-56).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drba_tpu.ops.resize import resize_to
+
+
+def get_valid_net_inp_size(img: np.ndarray, scale: float, div: int = 64) -> dict:
+    h, w = img.shape[:2]
+    src_h, src_w = h, w
+    if (h * scale) % div != 0:
+        h = int((h * scale // div + 1) * div / scale)
+    if (w * scale) % div != 0:
+        w = int((w * scale // div + 1) * div / scale)
+    return {"src_size": (src_h, src_w), "dst_size": (h, w)}
+
+
+def to_tensor(img: np.ndarray, dtype=jnp.float32) -> jax.Array:
+    """HWC uint8 -> (1,H,W,C) float in [0,1] on device."""
+    return jnp.asarray(img, dtype=dtype)[None] / 255.0
+
+
+def to_uint8(x: jax.Array) -> np.ndarray:
+    """(1,H,W,C) float [0,1] -> HWC uint8 on host (truncation, like
+    ``(x*255).astype(uint8)`` at tools.py:38)."""
+    arr = np.asarray(jnp.clip(x[0].astype(jnp.float32) * 255.0, 0, 255))
+    return arr.astype(np.uint8)
+
+
+def to_inp(img: np.ndarray, dst_size: tuple[int, int], dtype=jnp.float32) -> jax.Array:
+    return resize_to(to_tensor(img, dtype), dst_size)
+
+
+def to_out(x: jax.Array, src_size: tuple[int, int]) -> np.ndarray:
+    return to_uint8(resize_to(x.astype(jnp.float32), src_size))

@@ -1,0 +1,117 @@
+"""Threaded video decode/encode pipeline (reference: tools.py:156-213).
+
+Host-side pipeline: a decoder thread (cv2.VideoCapture -> bounded queue), the
+main thread doing device compute, and an encoder thread draining a bounded
+queue into either an ffmpeg rawvideo pipe (when an ``ffmpeg`` binary exists —
+keeps the reference's audio mapping and encoder flags, tools.py:173-188) or a
+cv2.VideoWriter fallback.
+
+Deliberate fixes vs the reference:
+  * the write queue is bounded (the reference's is unbounded,
+    tools.py:169 — unlimited RAM growth when encode lags);
+  * shutdown is deterministic: ``finish_writing`` sends a sentinel and joins
+    the writer (the reference polls queue emptiness and lets a daemon thread
+    die with a frame potentially still in the pipe, tools.py:203-213).
+"""
+
+from __future__ import annotations
+
+import queue
+import shutil
+import subprocess
+import threading
+
+import cv2
+import numpy as np
+
+
+class VideoFI_IO:
+    def __init__(
+        self,
+        input_path: str,
+        output_path: str,
+        dst_fps: float = 60,
+        times: int = -1,
+        hwaccel: bool = False,
+        read_queue: int = 100,
+        write_queue: int = 256,
+    ):
+        self.capture = cv2.VideoCapture(input_path)
+        if not self.capture.isOpened():
+            raise FileNotFoundError(f"cannot open video {input_path}")
+        self.src_fps = self.capture.get(cv2.CAP_PROP_FPS)
+        self.dst_fps = times * self.src_fps if times != -1 else dst_fps
+        self.total_frames_count = int(self.capture.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.width = int(self.capture.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self.capture.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+        self._ffmpeg = None
+        self._writer = None
+        if shutil.which("ffmpeg"):
+            self._ffmpeg = self._spawn_ffmpeg(input_path, output_path, hwaccel)
+        else:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            self._writer = cv2.VideoWriter(
+                output_path, fourcc, self.dst_fps, (self.width, self.height)
+            )
+            if not self._writer.isOpened():
+                raise RuntimeError(f"cannot open encoder for {output_path}")
+
+        self.read_buffer: queue.Queue = queue.Queue(maxsize=read_queue)
+        self.write_buffer: queue.Queue = queue.Queue(maxsize=write_queue)
+        self._reader_t = threading.Thread(target=self._read_loop, daemon=True)
+        self._writer_t = threading.Thread(target=self._write_loop, daemon=True)
+        self._reader_t.start()
+        self._writer_t.start()
+        self._closed = False
+
+    def _spawn_ffmpeg(self, input_path, output_path, hwaccel):
+        encoder, preset = ("h264_nvenc", "p7") if hwaccel else ("libx264", "medium")
+        cmd = [
+            "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-r", f"{self.dst_fps}", "-s", f"{self.width}x{self.height}",
+            "-i", "pipe:0", "-i", input_path,
+            "-map", "0:v", "-map", "1:a?",
+            "-c:v", encoder, "-movflags", "+faststart", "-pix_fmt", "yuv420p",
+            "-qp", "16", "-preset", preset,
+            "-c:a", "aac", "-b:a", "320k", output_path,
+        ]
+        return subprocess.Popen(cmd, stdin=subprocess.PIPE)
+
+    def _read_loop(self):
+        ok, frame = self.capture.read()
+        while ok:
+            self.read_buffer.put(frame)
+            ok, frame = self.capture.read()
+        self.read_buffer.put(None)
+        self.capture.release()
+
+    def _write_loop(self):
+        while True:
+            item = self.write_buffer.get()
+            if item is None:
+                break
+            if self._ffmpeg is not None:
+                # frames travel as BGR (decoder-native); flip for the pipe
+                self._ffmpeg.stdin.write(np.ascontiguousarray(item[:, :, ::-1]))
+            else:
+                self._writer.write(item)
+        if self._ffmpeg is not None:
+            self._ffmpeg.stdin.close()
+            self._ffmpeg.wait()
+        else:
+            self._writer.release()
+
+    # -- API (matches the reference surface, tools.py:206-213) -------------
+    def write_frame(self, frame: np.ndarray) -> None:
+        self.write_buffer.put(frame)
+
+    def read_frame(self):
+        return self.read_buffer.get()
+
+    def finish_writing(self) -> bool:
+        if not self._closed:
+            self._closed = True
+            self.write_buffer.put(None)
+        self._writer_t.join(timeout=600)
+        return not self._writer_t.is_alive()

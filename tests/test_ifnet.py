@@ -80,3 +80,12 @@ def test_full_forward_parity(torch_ifnet, timestep):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(got), -1, 1), want.numpy(), rtol=2e-3, atol=2e-3
     )
+
+
+def test_spec_shapes_match_torch(torch_ifnet):
+    from drba_tpu.models.layers import init_from_spec
+
+    init = init_from_spec(IFNET_SPEC)
+    conv = from_torch_state_dict(torch_ifnet.state_dict(), IFNET_SPEC)
+    for k in IFNET_SPEC:
+        assert init[k].shape == conv[k].shape, k
