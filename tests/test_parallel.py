@@ -1,0 +1,73 @@
+"""Multi-chip window parallelism on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.config import F32
+from drba_tpu.models.rife import RIFE
+from drba_tpu.parallel.batch import WindowPlanner, rife_windows_batched
+from drba_tpu.parallel.mesh import make_mesh, shard_batch, window_sharding
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_batched_windows_sharded_matches_serial():
+    model = RIFE(weights=None, scale=1.0, config=F32)
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    h, w = 64, 64
+    B, T = 8, 2
+    I0 = jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
+    I1 = jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
+    I2 = jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
+    ts = jnp.tile(jnp.asarray([[0.5, 1.5]], jnp.float32), (B, 1))
+
+    with mesh:
+        sI0, sI1, sI2, sts = shard_batch(mesh, (I0, I1, I2, ts))
+        sharded = rife_windows_batched(model.params, sI0, sI1, sI2, sts, model.scale_list, True)
+        sharded.block_until_ready()
+    # output stays batch-sharded on the data axis (no implicit all-gather)
+    assert len(sharded.sharding.device_set) == 8
+
+    # single-device serial result (reuse-free path) must agree
+    serial = rife_windows_batched(model.params, I0, I1, I2, ts, model.scale_list, True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial), atol=1e-5)
+
+
+def test_window_planner_order_and_trim():
+    model = RIFE(weights=None, scale=1.0, config=F32)
+    mesh = make_mesh(4)
+    planner = WindowPlanner(mesh, model.params, model.scale_list, ts_bucket=3)
+    rng = np.random.default_rng(1)
+    h, w = 64, 64
+
+    def win(seed, nts):
+        r = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(r.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+        return (mk(), mk(), mk(), np.linspace(0.5, 1.4, nts))
+
+    windows = [win(i, 2 + i % 2) for i in range(6)]  # 6 windows over 4 devices
+    outs = list(planner.run(windows))
+    assert len(outs) == 6
+    for i, frames in enumerate(outs):
+        assert len(frames) == 2 + i % 2
+        for f in frames:
+            assert f.shape == (1, h, w, 3)
+
+
+def test_graft_entry_contract():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 3  # T timesteps
+
+    mod.dryrun_multichip(8)
