@@ -10,11 +10,22 @@ Convolution weights are stored HWIO (TPU-native NHWC pipeline); transposed
 convolutions keep torch's un-flipped layout and are flipped inside the op.
 """
 
-from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply, ifnet_encode, ifnet_block
+__all__ = ["RIFE", "GMFSS", "GMFSS_UNION"]
 
-__all__ = [
-    "IFNET_SPEC",
-    "ifnet_apply",
-    "ifnet_encode",
-    "ifnet_block",
-]
+
+def __getattr__(name):
+    # Lazy: the wrappers import drba_tpu.convert, which imports
+    # drba_tpu.models.layers — eager imports here would be circular.
+    if name == "RIFE":
+        from drba_tpu.models.rife import RIFE
+
+        return RIFE
+    if name == "GMFSS":
+        from drba_tpu.models.gmfss import GMFSS
+
+        return GMFSS
+    if name == "GMFSS_UNION":
+        from drba_tpu.models.gmfss_union import GMFSS_UNION
+
+        return GMFSS_UNION
+    raise AttributeError(name)

@@ -1,0 +1,112 @@
+"""GMFSS model wrapper — the quality path (models/gmfss.py).
+
+Same uniform API as RIFE; the whole window (all timesteps) compiles to one
+batched XLA program (the reference loops per-t, models/gmfss.py:47-66).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.config import Config, DEFAULT
+from drba_tpu.convert import load_network
+from drba_tpu.drm import calc_drm_gmfss
+from drba_tpu.models.gmflow_net import GMFLOW_SPEC
+from drba_tpu.models.gmfss_core import (
+    GmfssParams,
+    Reuse,
+    gmfss_inference,
+    gmfss_reuse,
+)
+from drba_tpu.models.gmfss_nets import (
+    FEATURENET_SPEC,
+    GRIDNET_SPEC,
+    METRICNET_SPEC,
+)
+
+
+def _select_reuse(left, a: Reuse, b: Reuse) -> Reuse:
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(left, x, y), a, b)
+
+
+def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse, linear):
+    """One timestep of the DRBA window (models/gmfss.py:47-66)."""
+    tt = jnp.where(t < 1, 1 - t, t - 1)
+    drm = calc_drm_gmfss(
+        tt, reuse10.flow01, reuse12.flow01, reuse10.metric0, reuse12.metric0,
+        linear=linear,
+    )
+    left = t < 1
+    imgB = jnp.where(left, I0, I2)
+    reuse = _select_reuse(left, reuse10, reuse12)
+    t0 = jnp.where(left, drm.drm1t_t01, drm.drm1t_t12)
+    t1 = jnp.where(left, drm.drm0t_t01, drm.drm2t_t12)
+
+    out = gmfss_inference(p, I1, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype))
+    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
+
+
+@functools.partial(jax.jit, static_argnames=("linear",))
+def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse, linear):
+    fn = functools.partial(
+        _interp_one_t, p, I0=I0, I1=I1, I2=I2, reuse10=reuse10, reuse12=reuse12,
+        linear=linear,
+    )
+    return jax.vmap(lambda t: fn(t))(ts)
+
+
+def _ts_one(p: GmfssParams, t, I0, I1, reuse: Reuse):
+    out = gmfss_inference(p, I0, I1, reuse, t, 1 - t)
+    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
+
+
+@jax.jit
+def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse):
+    return jax.vmap(lambda t: _ts_one(p, t, I0, I1, reuse))(ts)
+
+
+class GMFSS:
+    """Quality-path model (reference: models/gmfss.py:7-73)."""
+
+    def __init__(self, weights: str | None = None, scale: float = 1.0,
+                 config: Config = DEFAULT):
+        self.params = GmfssParams(
+            flownet=load_network(weights, "flownet.pkl", GMFLOW_SPEC, seed=config.seed),
+            metricnet=load_network(weights, "metric.pkl", METRICNET_SPEC, seed=config.seed + 1),
+            feat_ext=load_network(weights, "feat.pkl", FEATURENET_SPEC, seed=config.seed + 2),
+            fusionnet=load_network(weights, "fusionnet.pkl", GRIDNET_SPEC, seed=config.seed + 3),
+        )
+        self.scale = scale
+        self.pad_size = 64
+        self.config = config
+        self._reuse_jit = jax.jit(
+            functools.partial(gmfss_reuse, scale=self.scale, union=False)
+        )
+
+    def reuse(self, img0, img1) -> Reuse:
+        return self._reuse_jit(self.params, img0, img1)
+
+    def inference_ts(self, I0, I1, ts):
+        if len(ts) == 0:
+            return []
+        reuse = self.reuse(I0, I1)
+        out = _ts_batch(self.params, I0, I1, jnp.asarray(ts, jnp.float32), reuse)
+        return [out[i] for i in range(len(ts))]
+
+    def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
+        reuse10 = self.reuse(I1, I0) if reuse is None else reuse
+        reuse12 = self.reuse(I1, I2)
+
+        frames = []
+        if len(ts) > 0:
+            out = _drba_window(
+                self.params, I0, I1, I2, jnp.asarray(ts, jnp.float32),
+                reuse10, reuse12, linear,
+            )
+            frames = [out[i] for i in range(len(ts))]
+
+        # next reuse(I1', I0') = direction-swapped current reuse(I1, I2)
+        return frames, reuse12.swapped()

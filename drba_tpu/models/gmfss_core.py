@@ -1,0 +1,174 @@
+"""GMFSS model core: reuse (flow/metric/features) + fused inference.
+
+Reproduces models/model_gmfss/GMFSS.py (quality path) and
+models/model_gmfss_union/GMFSS.py (union path, 9ch fusion head + timestep
+swap masking). The model is a bundle of four param dicts
+(flownet/metricnet/feat_ext/fusionnet) + pure functions.
+
+TPU-first: the reference runs the flow network twice per pair
+(GMFSS.py:73-74); here both directions come from ONE bidirectional GMFlow
+program (correlation-transpose trick), halving backbone/transformer work.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.models.gmflow_net import gmflow_apply
+from drba_tpu.models.gmfss_nets import (
+    featurenet_apply,
+    gridnet_apply,
+    metricnet_apply,
+)
+from drba_tpu.ops import softsplat
+from drba_tpu.ops.resize import resize_bilinear, scale_by
+
+
+class GmfssParams(NamedTuple):
+    flownet: dict
+    metricnet: dict
+    feat_ext: dict
+    fusionnet: dict
+
+
+class Reuse(NamedTuple):
+    """reuse() outputs (GMFSS.py:58-81): flow/metric/feature pyramid."""
+    flow01: jax.Array
+    flow10: jax.Array
+    metric0: jax.Array
+    metric1: jax.Array
+    feat0: tuple
+    feat1: tuple
+
+    def swapped(self) -> "Reuse":
+        """Direction swap for window chaining (models/gmfss.py:68-71)."""
+        return Reuse(self.flow10, self.flow01, self.metric1, self.metric0,
+                     self.feat1, self.feat0)
+
+
+def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False) -> Reuse:
+    """Precompute flow, metrics and feature pyramids (GMFSS.py:58-81)."""
+    feat0 = featurenet_apply(p.feat_ext, img0)
+    feat1 = featurenet_apply(p.feat_ext, img1)
+
+    img0h = scale_by(img0, 0.5)
+    img1h = scale_by(img1, 0.5)
+
+    if scale != 1.0:
+        imgf0 = scale_by(img0h, scale)
+        imgf1 = scale_by(img1h, scale)
+    else:
+        imgf0, imgf1 = img0h, img1h
+
+    flows = gmflow_apply(p.flownet, imgf0, imgf1, pred_bidir=True)
+    b = imgf0.shape[0]
+    flow01, flow10 = flows[:b], flows[b:]
+    if scale != 1.0:
+        size = (img0h.shape[1], img0h.shape[2])
+        flow01 = resize_bilinear(flow01, size) / scale
+        flow10 = resize_bilinear(flow10, size) / scale
+
+    metric0, metric1 = metricnet_apply(
+        p.metricnet, img0h, img1h, flow01, flow10, union=union
+    )
+    return Reuse(flow01, flow10, metric0, metric1, feat0, feat1)
+
+
+def _warp_pyramid(img_h, feats, Ft, Zt):
+    """Soft-splat an image + 3-level feature pyramid along scaled flows
+    (GMFSS.py:95-115). Flow/metric are rescaled per pyramid level."""
+    It = softsplat(img_h, Ft, Zt, "soft")
+    f1 = softsplat(feats[0], Ft, Zt, "soft")
+
+    h2, w2 = feats[1].shape[1], feats[1].shape[2]
+    Ftd = resize_bilinear(Ft, (h2, w2)) * 0.5
+    Ztd = resize_bilinear(Zt, (h2, w2))
+    f2 = softsplat(feats[1], Ftd, Ztd, "soft")
+
+    h3, w3 = feats[2].shape[1], feats[2].shape[2]
+    Ftdd = resize_bilinear(Ft, (h3, w3)) * 0.25
+    Ztdd = resize_bilinear(Zt, (h3, w3))
+    f3 = softsplat(feats[2], Ftdd, Ztdd, "soft")
+    return It, (f1, f2, f3)
+
+
+def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1):
+    """Model.inference (model_gmfss/GMFSS.py:83-190): splat-and-fuse."""
+    F1t = timestep0 * reuse.flow01
+    F2t = timestep1 * reuse.flow10
+    Z1t = timestep0 * reuse.metric0
+    Z2t = timestep1 * reuse.metric1
+
+    img0h = scale_by(img0, 0.5)
+    img1h = scale_by(img1, 0.5)
+
+    I1t, f1 = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t)
+    I2t, f2 = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t)
+
+    out = gridnet_apply(
+        p.fusionnet,
+        jnp.concatenate([img0h, I1t, I2t, img1h], axis=-1),
+        jnp.concatenate([f1[0], f2[0]], axis=-1),
+        jnp.concatenate([f1[1], f2[1]], axis=-1),
+        jnp.concatenate([f1[2], f2[2]], axis=-1),
+    )
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def gmfss_union_inference(
+    p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1, rife,
+    enable_mask: bool = True,
+):
+    """Union Model.inference (model_gmfss_union/GMFSS.py:80-155): GridNet head
+    consumes cat(I1t, rife, I2t); the timestep-swap mask kills ghosting where
+    one warped stream's (warped, hole-filled) timestep dominates the other by
+    more than 25x (GMFSS.py:114-150)."""
+    F1t = timestep0 * reuse.flow01
+    F2t = timestep1 * reuse.flow10
+    Z1t = timestep0 * reuse.metric0
+    Z2t = timestep1 * reuse.metric1
+
+    img0h = scale_by(img0, 0.5)
+    img1h = scale_by(img1, 0.5)
+
+    I1t, f1 = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t)
+    I2t, f2 = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t)
+    f1, f2 = list(f1), list(f2)
+
+    if enable_mask and hasattr(timestep0, "shape") and getattr(timestep0, "ndim", 0) == 4:
+        ones = jnp.ones_like(timestep0)
+        w_t0 = softsplat(timestep0, F1t, Z1t, "soft")
+        w_t1 = softsplat(timestep1, F2t, Z2t, "soft")
+        gaps0 = softsplat(ones, F1t, Z1t, "soft") < 0.999
+        gaps1 = softsplat(ones, F2t, Z2t, "soft") < 0.999
+        invalid = jnp.logical_or(gaps0, gaps1)
+        w_t0 = jnp.where(invalid, 1.0, w_t0)
+        w_t1 = jnp.where(invalid, 1.0, w_t1)
+
+        def masks(scale):
+            t0, t1 = w_t0, w_t1
+            if scale != 1.0:
+                t0 = scale_by(t0, scale)
+                t1 = scale_by(t1, scale)
+            return (t0 / t1 > 25.0), (t1 / t0 > 25.0)
+
+        m0, m1 = masks(1.0)
+        I1t, I2t = jnp.where(m0, I2t, I1t), jnp.where(m1, I1t, I2t)
+        f1[0], f2[0] = jnp.where(m0, f2[0], f1[0]), jnp.where(m1, f1[0], f2[0])
+        m0, m1 = masks(0.5)
+        f1[1], f2[1] = jnp.where(m0, f2[1], f1[1]), jnp.where(m1, f1[1], f2[1])
+        m0, m1 = masks(0.25)
+        f1[2], f2[2] = jnp.where(m0, f2[2], f1[2]), jnp.where(m1, f1[2], f2[2])
+
+    out = gridnet_apply(
+        p.fusionnet,
+        jnp.concatenate([I1t, rife, I2t], axis=-1),
+        jnp.concatenate([f1[0], f2[0]], axis=-1),
+        jnp.concatenate([f1[1], f2[1]], axis=-1),
+        jnp.concatenate([f1[2], f2[2]], axis=-1),
+        union=True,
+    )
+    return jnp.clip(out, 0.0, 1.0)

@@ -1,0 +1,220 @@
+"""GMFSS sub-networks: MetricNet, FeatureNet, GridNet (+ union variants).
+
+Reproduced from models/model_gmfss/{MetricNet,FeatureNet,FusionNet}.py and
+the union copies (differences: MetricNet tail ``Tanh * 10``
+(model_gmfss_union/MetricNet.py:41-42,63) and the GridNet head name/width
+(model_gmfss_union/FusionNet.py:59)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.models.layers import (
+    Params,
+    conv2d,
+    conv_transpose2d,
+    prelu,
+)
+from drba_tpu.ops import backwarp, pixel_shuffle
+from drba_tpu.ops.distance import flow_distance
+
+
+# ---------------------------------------------------------------------------
+# MetricNet
+# ---------------------------------------------------------------------------
+
+
+def build_metricnet_spec() -> dict:
+    spec = {
+        "metric_in.weight": ("conv", 3, 3, 14, 64),
+        "metric_in.bias": ("bias", 64),
+    }
+    for i in (1, 2, 3):
+        spec[f"metric_net{i}.0.weight"] = ("scalar",)
+        spec[f"metric_net{i}.1.weight"] = ("conv", 3, 3, 64, 64)
+        spec[f"metric_net{i}.1.bias"] = ("bias", 64)
+    spec["metric_out.0.weight"] = ("scalar",)
+    spec["metric_out.1.weight"] = ("conv", 3, 3, 64, 2)
+    spec["metric_out.1.bias"] = ("bias", 2)
+    return spec
+
+
+METRICNET_SPEC = build_metricnet_spec()
+
+
+def _fb_consistency(flow01, flow10, alpha=0.01, beta=0.5):
+    """forward_backward_consistency_check (gmflow/geometry.py:87-108)."""
+    mag = flow_distance(flow01).astype(jnp.float32) + flow_distance(flow10).astype(jnp.float32)
+    warped_bwd = backwarp(flow10, flow01, padding_mode="zeros")
+    warped_fwd = backwarp(flow01, flow10, padding_mode="zeros")
+    diff_fwd = flow_distance(flow01 + warped_bwd).astype(jnp.float32)
+    diff_bwd = flow_distance(flow10 + warped_fwd).astype(jnp.float32)
+    thresh = alpha * mag + beta
+    return (diff_fwd > thresh).astype(flow01.dtype), (diff_bwd > thresh).astype(flow10.dtype)
+
+
+def metricnet_apply(p: Params, img0, img1, flow01, flow10, union: bool = False):
+    """MetricNet.forward (model_gmfss/MetricNet.py:44-65)."""
+    m0 = jnp.mean(
+        jnp.abs(img0 - backwarp(img1, flow01, padding_mode="zeros")), axis=-1, keepdims=True
+    )
+    m1 = jnp.mean(
+        jnp.abs(img1 - backwarp(img0, flow10, padding_mode="zeros")), axis=-1, keepdims=True
+    )
+    fwd_occ, bwd_occ = _fb_consistency(flow01, flow10)
+
+    h, w = flow01.shape[1], flow01.shape[2]
+    def norm_flow(f):
+        return jnp.concatenate(
+            [f[..., 0:1] / ((w - 1.0) / 2.0), f[..., 1:2] / ((h - 1.0) / 2.0)], axis=-1
+        )
+
+    x = jnp.concatenate(
+        [img0, img1, -m0, -m1, norm_flow(flow01), norm_flow(flow10), fwd_occ, bwd_occ],
+        axis=-1,
+    )
+    feat = conv2d(p, "metric_in", x, padding=1)
+    for i in (1, 2, 3):
+        feat = conv2d(p, f"metric_net{i}.1", prelu(p, f"metric_net{i}.0", feat), padding=1) + feat
+    out = conv2d(p, "metric_out.1", prelu(p, "metric_out.0", feat), padding=1)
+    if union:
+        out = jnp.tanh(out.astype(jnp.float32)).astype(out.dtype) * 10
+    return out[..., 0:1], out[..., 1:2]
+
+
+# ---------------------------------------------------------------------------
+# FeatureNet
+# ---------------------------------------------------------------------------
+
+
+def build_featurenet_spec() -> dict:
+    spec = {}
+    dims = [(3, 64), (64, 128), (128, 192)]
+    for i, (cin, cout) in enumerate(dims, start=1):
+        spec[f"block{i}.0.weight"] = ("scalar",)
+        spec[f"block{i}.1.weight"] = ("conv", 3, 3, cin, cout)
+        spec[f"block{i}.1.bias"] = ("bias", cout)
+        spec[f"block{i}.2.weight"] = ("scalar",)
+        spec[f"block{i}.3.weight"] = ("conv", 3, 3, cout, cout)
+        spec[f"block{i}.3.bias"] = ("bias", cout)
+    return spec
+
+
+FEATURENET_SPEC = build_featurenet_spec()
+
+
+def featurenet_apply(p: Params, x):
+    """3-level pyramid at 1/2, 1/4, 1/8 (model_gmfss/FeatureNet.py:29-34)."""
+    outs = []
+    for i in (1, 2, 3):
+        x = conv2d(p, f"block{i}.1", prelu(p, f"block{i}.0", x), stride=2, padding=1)
+        x = conv2d(p, f"block{i}.3", prelu(p, f"block{i}.2", x), stride=1, padding=1)
+        outs.append(x)
+    return tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# GridNet
+# ---------------------------------------------------------------------------
+
+
+def _seq_conv_spec(spec, prefix, cin, cout, transpose=False):
+    """Sequential(PReLU, Conv, PReLU, Conv) blocks of FusionNet.py:7-33."""
+    kind = "convT" if transpose else "conv"
+    k = 4 if transpose else 3
+    spec[f"{prefix}.0.weight"] = ("scalar",)
+    spec[f"{prefix}.1.weight"] = (kind, k, k, cin, cout)
+    spec[f"{prefix}.1.bias"] = ("bias", cout)
+    spec[f"{prefix}.2.weight"] = ("scalar",)
+    spec[f"{prefix}.3.weight"] = ("conv", 3, 3, cout, cout)
+    spec[f"{prefix}.3.bias"] = ("bias", cout)
+
+
+def build_gridnet_spec(in_channels: int, union: bool = False) -> dict:
+    spec = {}
+    head0 = "residual_model_head0" if union else "residual_model_head"
+    _seq_conv_spec(spec, head0, in_channels, 64)
+    _seq_conv_spec(spec, "residual_model_head1", 128, 64)
+    _seq_conv_spec(spec, "residual_model_head2", 256, 128)
+    _seq_conv_spec(spec, "residual_model_head3", 384, 192)
+    for r in ("01", "04", "05"):
+        _seq_conv_spec(spec, f"residual_model_{r}", 64, 64)
+    for r in ("11", "14", "15"):
+        _seq_conv_spec(spec, f"residual_model_{r}", 128, 128)
+    for r in ("21", "24", "25"):
+        _seq_conv_spec(spec, f"residual_model_{r}", 192, 192)
+    for d in ("10", "11"):
+        _seq_conv_spec(spec, f"downsample_model_{d}", 64, 128)
+    for d in ("20", "21"):
+        _seq_conv_spec(spec, f"downsample_model_{d}", 128, 192)
+    for u in ("04", "05"):
+        _seq_conv_spec(spec, f"upsample_model_{u}", 128, 64, transpose=True)
+    for u in ("14", "15"):
+        _seq_conv_spec(spec, f"upsample_model_{u}", 192, 128, transpose=True)
+    # PixelShuffleBlcok tail (FusionNet.py:36-52)
+    spec["residual_model_tail.conv_before_upsample.0.weight"] = ("conv", 3, 3, 64, 64)
+    spec["residual_model_tail.conv_before_upsample.0.bias"] = ("bias", 64)
+    spec["residual_model_tail.conv_before_upsample.1.weight"] = ("scalar",)
+    spec["residual_model_tail.upsample.0.weight"] = ("conv", 3, 3, 64, 256)
+    spec["residual_model_tail.upsample.0.bias"] = ("bias", 256)
+    spec["residual_model_tail.conv_last.weight"] = ("conv", 3, 3, 64, 3)
+    spec["residual_model_tail.conv_last.bias"] = ("bias", 3)
+    return spec
+
+
+GRIDNET_SPEC = build_gridnet_spec(12, union=False)
+GRIDNET_UNION_SPEC = build_gridnet_spec(9, union=True)
+
+
+def _seq_block(p: Params, prefix, x, stride=1, transpose=False):
+    if transpose:
+        y = conv_transpose2d(p, f"{prefix}.1", prelu(p, f"{prefix}.0", x), stride=2, padding=1)
+    else:
+        y = conv2d(p, f"{prefix}.1", prelu(p, f"{prefix}.0", x), stride=stride, padding=1)
+    return conv2d(p, f"{prefix}.3", prelu(p, f"{prefix}.2", y), stride=1, padding=1)
+
+
+def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False):
+    """GridNet lattice (model_gmfss/FusionNet.py:106-145)."""
+    head0 = "residual_model_head0" if union else "residual_model_head"
+    X00 = _seq_block(p, head0, x) + _seq_block(p, "residual_model_head1", x1)
+    X01 = _seq_block(p, "residual_model_01", X00) + X00
+
+    X10 = _seq_block(p, "downsample_model_10", X00, stride=2) + _seq_block(
+        p, "residual_model_head2", x2
+    )
+    X20 = _seq_block(p, "downsample_model_20", X10, stride=2) + _seq_block(
+        p, "residual_model_head3", x3
+    )
+
+    X11 = (_seq_block(p, "residual_model_11", X10) + X10) + _seq_block(
+        p, "downsample_model_11", X01, stride=2
+    )
+    X21 = (_seq_block(p, "residual_model_21", X20) + X20) + _seq_block(
+        p, "downsample_model_21", X11, stride=2
+    )
+
+    X24 = _seq_block(p, "residual_model_24", X21) + X21
+    X25 = _seq_block(p, "residual_model_25", X24) + X24
+
+    X14 = _seq_block(p, "upsample_model_14", X24, transpose=True) + (
+        _seq_block(p, "residual_model_14", X11) + X11
+    )
+    X04 = _seq_block(p, "upsample_model_04", X14, transpose=True) + (
+        _seq_block(p, "residual_model_04", X01) + X01
+    )
+    X15 = _seq_block(p, "upsample_model_15", X25, transpose=True) + (
+        _seq_block(p, "residual_model_15", X14) + X14
+    )
+    X05 = _seq_block(p, "upsample_model_05", X15, transpose=True) + (
+        _seq_block(p, "residual_model_05", X04) + X04
+    )
+
+    # PixelShuffleBlcok tail
+    t = conv2d(p, "residual_model_tail.conv_before_upsample.0", X05, padding=1)
+    t = prelu(p, "residual_model_tail.conv_before_upsample.1", t)
+    t = conv2d(p, "residual_model_tail.upsample.0", t, padding=1)
+    t = pixel_shuffle(t, 2)
+    return conv2d(p, "residual_model_tail.conv_last", t, padding=1)

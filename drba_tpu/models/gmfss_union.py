@@ -1,0 +1,134 @@
+"""GMFSS_UNION wrapper — the high-quality path (models/gmfss_union.py).
+
+GMFSS plus an auxiliary RIFE: the full IFNet-426-heavy runs at half
+resolution with a DRM timestep map and its output becomes the middle 3
+channels of the fusion GridNet (models/gmfss_union.py:70-77,
+model_gmfss_union/GMFSS.py:152). pad_size is 128 so the half-res aux RIFE
+still sees 64-aligned frames (models/gmfss_union.py:23).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.config import Config, DEFAULT
+from drba_tpu.convert import load_network
+from drba_tpu.drm import calc_drm_gmfss, calc_drm_rife_auxiliary
+from drba_tpu.models.gmflow_net import GMFLOW_SPEC
+from drba_tpu.models.gmfss_core import (
+    GmfssParams,
+    Reuse,
+    gmfss_reuse,
+    gmfss_union_inference,
+)
+from drba_tpu.models.gmfss_nets import (
+    FEATURENET_SPEC,
+    GRIDNET_UNION_SPEC,
+    METRICNET_SPEC,
+)
+from drba_tpu.models.gmfss import _select_reuse
+from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply
+from drba_tpu.ops.resize import resize_bilinear, scale_by
+
+
+def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
+                  reuse10: Reuse, reuse12: Reuse, scale_list, linear):
+    tt = jnp.where(t < 1, 1 - t, t - 1)
+    flow10, flow12 = reuse10.flow01, reuse12.flow01
+    metric10, metric12 = reuse10.metric0, reuse12.metric0
+
+    drm_g = calc_drm_gmfss(tt, flow10, flow12, metric10, metric12, linear=linear)
+    drm_r = calc_drm_rife_auxiliary(tt, flow10, flow12, metric10, metric12, linear=linear)
+
+    left = t < 1
+    imgB = jnp.where(left, I0, I2)
+    reuse = _select_reuse(left, reuse10, reuse12)
+    t0 = jnp.where(left, drm_g.drm1t_t01, drm_g.drm1t_t12)
+    t1 = jnp.where(left, drm_g.drm0t_t01, drm_g.drm2t_t12)
+    drm_rife = jnp.where(left, drm_r.drm_t1_t01, drm_r.drm_t1_t12)
+
+    # auxiliary RIFE at half resolution (models/gmfss_union.py:72-74)
+    I1s = scale_by(I1, 0.5)
+    IBs = scale_by(imgB, 0.5)
+    ts_map = resize_bilinear(drm_rife, (I1s.shape[1], I1s.shape[2]))
+    rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype), scale_list)
+
+    out = gmfss_union_inference(
+        p, I1, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype), rife
+    )
+    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
+
+
+@functools.partial(jax.jit, static_argnames=("scale_list", "linear"))
+def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list, linear):
+    fn = functools.partial(
+        _interp_one_t, p, rife_params, I0=I0, I1=I1, I2=I2,
+        reuse10=reuse10, reuse12=reuse12, scale_list=scale_list, linear=linear,
+    )
+    return jax.vmap(lambda t: fn(t))(ts)
+
+
+def _ts_one(p, rife_params, t, I0, I1, reuse, scale_list):
+    I0s = scale_by(I0, 0.5)
+    I1s = scale_by(I1, 0.5)
+    tmap = jnp.full_like(I0s[..., :1], 0.0) + t
+    rife, _ = ifnet_apply(rife_params, I0s, I1s, tmap.astype(I0s.dtype), scale_list)
+    out = gmfss_union_inference(p, I0, I1, reuse, t, 1 - t, rife, enable_mask=False)
+    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
+
+
+@functools.partial(jax.jit, static_argnames=("scale_list",))
+def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list):
+    return jax.vmap(lambda t: _ts_one(p, rife_params, t, I0, I1, reuse, scale_list))(ts)
+
+
+class GMFSS_UNION:
+    """High-quality path (reference: models/gmfss_union.py:10-100)."""
+
+    def __init__(self, weights: str | None = None, scale: float = 1.0,
+                 config: Config = DEFAULT):
+        self.params = GmfssParams(
+            flownet=load_network(weights, "flownet.pkl", GMFLOW_SPEC, seed=config.seed),
+            metricnet=load_network(weights, "metric.pkl", METRICNET_SPEC, seed=config.seed + 1),
+            feat_ext=load_network(weights, "feat.pkl", FEATURENET_SPEC, seed=config.seed + 2),
+            fusionnet=load_network(weights, "fusionnet.pkl", GRIDNET_UNION_SPEC, seed=config.seed + 3),
+        )
+        self.rife_params = load_network(weights, "rife.pkl", IFNET_SPEC, seed=config.seed + 4)
+        self.scale = scale
+        self.scale_list = tuple(s / scale for s in (16.0, 8.0, 4.0, 2.0, 1.0))
+        self.pad_size = 128
+        self.config = config
+        self._reuse_jit = jax.jit(
+            functools.partial(gmfss_reuse, scale=self.scale, union=True)
+        )
+
+    def reuse(self, img0, img1) -> Reuse:
+        return self._reuse_jit(self.params, img0, img1)
+
+    def inference_ts(self, I0, I1, ts):
+        if len(ts) == 0:
+            return []
+        reuse = self.reuse(I0, I1)
+        out = _ts_batch(
+            self.params, self.rife_params, I0, I1,
+            jnp.asarray(ts, jnp.float32), reuse, self.scale_list,
+        )
+        return [out[i] for i in range(len(ts))]
+
+    def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
+        reuse10 = self.reuse(I1, I0) if reuse is None else reuse
+        reuse12 = self.reuse(I1, I2)
+
+        frames = []
+        if len(ts) > 0:
+            out = _drba_window(
+                self.params, self.rife_params, I0, I1, I2,
+                jnp.asarray(ts, jnp.float32), reuse10, reuse12,
+                self.scale_list, linear,
+            )
+            frames = [out[i] for i in range(len(ts))]
+
+        return frames, reuse12.swapped()
