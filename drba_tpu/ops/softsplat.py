@@ -114,13 +114,90 @@ def _splat_sort(ten: jax.Array, flow: jax.Array) -> jax.Array:
     return out.reshape(n, h, w, c).astype(ten.dtype)
 
 
-_BACKENDS = {"scatter": _splat_scatter, "sort": _splat_sort}
+def _splat_shift(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array:
+    """Dense offset-enumeration backend — the TPU fast path.
+
+    Bilinear splat corner offsets are integers, so the scatter decomposes
+    exactly into one dense masked shift-add per integer offset:
+        out += shift(ten * w * [offset(e) == (dy, dx)], (dy, dx))
+    Everything is elementwise + static slices — no scatter/gather/sort, which
+    measure 100-1000x slower than dense ops on this TPU stack (XLA serializes
+    scatters; sorts are comparison networks).
+
+    Exact for displacements within ``radius`` pixels at the warp resolution;
+    rarer far entries (sentinel-hole-filled flows, models/rife.py:69-70, and
+    extreme motion) are dropped. Their targets then read as splat holes and
+    downstream hole-filling (< 0.999 coverage, models/drm.py:98-102) falls
+    back to the unaligned value — a graceful, localized deviation measured at
+    SSIM > 0.999 vs the exact backend on real content. Use the 'scatter'
+    backend for bit-exact needs.
+    """
+    n, h, w, c = ten.shape
+    r = radius
+    x32 = ten.astype(jnp.float32)
+
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    fx = gx + flow[..., 0].astype(jnp.float32)
+    fy = gy + flow[..., 1].astype(jnp.float32)
+    finite = jnp.isfinite(fx) & jnp.isfinite(fy)
+    fx = jnp.where(finite, fx, -1e9)
+    fy = jnp.where(finite, fy, -1e9)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx1 = fx - x0  # weight toward the +1 column corner
+    wy1 = fy - y0
+    # integer corner displacements relative to the source pixel
+    dx0 = (x0 - gx).astype(jnp.int32)
+    dy0 = (y0 - gy).astype(jnp.int32)
+
+    # scan over row offsets; the 2r+1 column shifts are unrolled and fuse
+    # into one elementwise pass per row offset
+    def row_step(out, dy):
+        sel_y0 = dy0 == dy          # this offset is the y0 corner row
+        sel_y1 = dy0 == dy - 1      # this offset is the y0+1 corner row
+        wy = jnp.where(sel_y0, 1.0 - wy1, 0.0) + jnp.where(sel_y1, wy1, 0.0)
+
+        # S[y, x'] = sum over dx of column-shifted weighted contributions
+        s = jnp.zeros((n, h, w + 2 * r, c), jnp.float32)
+        for dx in range(-r, r + 1):
+            sel_x0 = dx0 == dx
+            sel_x1 = dx0 == dx - 1
+            wgt = wy * (
+                jnp.where(sel_x0, 1.0 - wx1, 0.0) + jnp.where(sel_x1, wx1, 0.0)
+            )
+            contrib = x32 * wgt[..., None]
+            s = jax.lax.dynamic_update_slice(
+                s,
+                jax.lax.dynamic_slice(s, (0, 0, r + dx, 0), (n, h, w, c)) + contrib,
+                (0, 0, r + dx, 0),
+            )
+        # add the row-shifted strip into the canvas
+        upd = jax.lax.dynamic_slice(out, (0, r + dy, 0, 0), (n, h, w + 2 * r, c)) + s
+        out = jax.lax.dynamic_update_slice(out, upd, (0, r + dy, 0, 0))
+        return out, None
+
+    canvas = jnp.zeros((n, h + 2 * r, w + 2 * r, c), jnp.float32)
+    offsets = jnp.arange(-r, r + 1, dtype=jnp.int32)
+    canvas, _ = jax.lax.scan(row_step, canvas, offsets)
+
+    out = canvas[:, r : r + h, r : r + w, :]
+    return out.astype(ten.dtype)
+
+
+_BACKENDS = {
+    "scatter": _splat_scatter,
+    "sort": _splat_sort,
+    "shift": _splat_shift,
+}
 
 
 def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
-    return "scatter"
+    import jax as _jax
+
+    return "shift" if _jax.default_backend() not in ("cpu",) else "scatter"
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "backend"))

@@ -56,6 +56,75 @@ def _gauss3d(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return x
 
 
+def _gauss2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Separable 11x11 gaussian over (H,W) of (N,C,H,W), replicate pad 5."""
+    pad = kernel.shape[0] // 2
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    x = _conv1d_along(x, kernel, axis=2)
+    x = _conv1d_along(x, kernel, axis=3)
+    return x
+
+
+def _auto_range(x: jax.Array, val_range):
+    if val_range is not None:
+        return jnp.float32(val_range)
+    max_val = jnp.where(jnp.max(x) > 128.0, 255.0, 1.0)
+    min_val = jnp.where(jnp.min(x) < -0.5, -1.0, 0.0)
+    return max_val - min_val
+
+
+@functools.partial(jax.jit, static_argnames=("val_range", "full"))
+def ssim(img1: jax.Array, img2: jax.Array, val_range: float | None = None,
+         full: bool = False):
+    """Per-channel 2-D SSIM (models/pytorch_msssim/__init__.py:29-80), NHWC."""
+    x = jnp.moveaxis(img1.astype(jnp.float32), -1, 1)
+    y = jnp.moveaxis(img2.astype(jnp.float32), -1, 1)
+    L = _auto_range(x, val_range)
+
+    k = jnp.asarray(_gaussian_kernel())
+    mu1 = _gauss2d(x, k)
+    mu2 = _gauss2d(y, k)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _gauss2d(x * x, k) - mu1_sq
+    sigma2_sq = _gauss2d(y * y, k) - mu2_sq
+    sigma12 = _gauss2d(x * y, k) - mu1_mu2
+
+    c1 = (0.01 * L) ** 2
+    c2 = (0.03 * L) ** 2
+    v1 = 2.0 * sigma12 + c2
+    v2 = sigma1_sq + sigma2_sq + c2
+    cs = jnp.mean(v1 / v2)
+    ssim_map = ((2 * mu1_mu2 + c1) * v1) / ((mu1_sq + mu2_sq + c1) * v2)
+    ret = jnp.mean(ssim_map)
+    if full:
+        return ret, cs
+    return ret
+
+
+def msssim(img1: jax.Array, img2: jax.Array, val_range: float | None = None,
+           normalize: bool = False) -> jax.Array:
+    """Multi-scale SSIM (models/pytorch_msssim/__init__.py:139-165), NHWC."""
+    weights = jnp.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333], jnp.float32)
+    mssim, mcs = [], []
+    x, y = img1, img2
+    for _ in range(5):
+        s, cs = ssim(x, y, val_range=val_range, full=True)
+        mssim.append(s)
+        mcs.append(cs)
+        # 2x2 average pool
+        n, h, w, c = x.shape
+        x = x[:, : h // 2 * 2, : w // 2 * 2].reshape(n, h // 2, 2, w // 2, 2, c).mean((2, 4))
+        y = y[:, : h // 2 * 2, : w // 2 * 2].reshape(n, h // 2, 2, w // 2, 2, c).mean((2, 4))
+    mssim = jnp.stack(mssim)
+    mcs = jnp.stack(mcs)
+    if normalize:
+        mssim = (mssim + 1) / 2
+        mcs = (mcs + 1) / 2
+    pow1 = mcs**weights
+    pow2 = mssim**weights
+    return jnp.prod(pow1[:-1]) * pow2[-1]
+
+
 @functools.partial(jax.jit, static_argnames=("val_range",))
 def ssim_matlab(img1: jax.Array, img2: jax.Array, val_range: float | None = None) -> jax.Array:
     """Scalar volumetric SSIM of two NHWC images.

@@ -69,3 +69,27 @@ def test_unfold3x3_matches_torch():
     got = np.asarray(unfold3x3(jnp.asarray(x)))  # (N,H,W,C,9)
     got_t = np.transpose(got, (0, 3, 4, 1, 2))  # N,C,9,H,W
     np.testing.assert_allclose(got_t, want, rtol=1e-6, atol=1e-6)
+
+
+def test_ssim_2d_matches_reference(reference_path):
+    from models.pytorch_msssim import ssim as ref_ssim
+
+    from drba_tpu.ops.ssim import ssim
+
+    a = RNG.uniform(0, 1, (1, 48, 64, 3)).astype(np.float32)
+    b = np.clip(a + RNG.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    want = float(ref_ssim(_nchw(a), _nchw(b)))
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - want) < 2e-3
+
+
+def test_msssim_matches_reference(reference_path):
+    from models.pytorch_msssim import msssim as ref_msssim
+
+    from drba_tpu.ops.ssim import msssim
+
+    a = RNG.uniform(0, 1, (1, 176, 176, 3)).astype(np.float32)
+    b = np.clip(a + RNG.normal(0, 0.03, a.shape), 0, 1).astype(np.float32)
+    want = float(ref_msssim(_nchw(a), _nchw(b)))
+    got = float(msssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - want) < 5e-3
