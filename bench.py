@@ -43,6 +43,11 @@ def main():
     ts_a = np.array([0.5, 0.9, 1.3])
     ts_b = np.array([0.7, 1.1])
 
+    # NOTE: on this platform block_until_ready returns before device
+    # completion (relayed execution); a scalar-reduction transfer is the only
+    # reliable sync point.
+    sync = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
     def run_windows(n):
         reuse = None
         total = 0
@@ -51,7 +56,7 @@ def main():
             ts = ts_a if k % 2 == 0 else ts_b
             out, reuse = model.inference_ts_drba(I0, I1, I2, ts, reuse, linear=True)
             total += len(out)
-        jax.block_until_ready(out)
+        float(sync(out[-1]))
         return total
 
     run_windows(2)  # compile both ts shapes + both flow paths

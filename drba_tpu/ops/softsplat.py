@@ -185,10 +185,18 @@ def _splat_shift(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array
     return out.astype(ten.dtype)
 
 
+def _splat_stencil(ten: jax.Array, flow: jax.Array) -> jax.Array:
+    """Pallas dense-stencil kernel backend (see splat_stencil.py)."""
+    from drba_tpu.ops.splat_stencil import splat_nhwc_stencil
+
+    return splat_nhwc_stencil(ten, flow, radius=12)
+
+
 _BACKENDS = {
     "scatter": _splat_scatter,
     "sort": _splat_sort,
     "shift": _splat_shift,
+    "stencil": _splat_stencil,
 }
 
 
@@ -197,7 +205,7 @@ def _resolve_backend(backend: str) -> str:
         return backend
     import jax as _jax
 
-    return "shift" if _jax.default_backend() not in ("cpu",) else "scatter"
+    return "stencil" if _jax.default_backend() not in ("cpu",) else "scatter"
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "backend"))

@@ -92,3 +92,24 @@ def test_softsplat_nonfinite_dropped():
     out = np.asarray(softsplat(jnp.asarray(x), jnp.asarray(flow), None, "sum"))
     assert out[0, 0, 0, 0] == 0.0
     assert out[0, 1, 1, 0] == 1.0
+
+
+@pytest.mark.parametrize("backend", ["shift", "stencil"])
+def test_tpu_fast_backends_match_scatter(backend):
+    """Dense offset-enumeration backends are exact within their radius."""
+    n, h, w, c = 1, 16, 24, 3
+    ten = RNG.standard_normal((n, h, w, c), dtype=np.float32)
+    flow = np.clip(RNG.standard_normal((n, h, w, 2)) * 3, -7, 7).astype(np.float32)
+    met = RNG.standard_normal((n, h, w, 1), dtype=np.float32)
+    for mode, m in [("avg", None), ("soft", jnp.asarray(met))]:
+        want = np.asarray(softsplat(jnp.asarray(ten), jnp.asarray(flow), m, mode, backend="scatter"))
+        got = np.asarray(softsplat(jnp.asarray(ten), jnp.asarray(flow), m, mode, backend=backend))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_backend_drops_far_entries():
+    # displacements beyond the radius vanish instead of corrupting memory
+    x = np.ones((1, 16, 16, 1), np.float32)
+    flow = np.full((1, 16, 16, 2), 14.0, np.float32)  # beyond radius 12
+    out = np.asarray(softsplat(jnp.asarray(x), jnp.asarray(flow), None, "sum", backend="shift"))
+    assert np.abs(out).sum() == 0.0
