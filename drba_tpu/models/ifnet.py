@@ -116,15 +116,15 @@ def ifnet_apply(
     flow = None
     mask = None
     feat = None
-    warped_img0, warped_img1 = img0, img1
     flow_list = []
+    # TPU note: gather cost is per-index, so each stage warps cat(img, feat)
+    # with ONE bilinear-patch gather per direction instead of the reference's
+    # separate img / feature warp calls (IFNet_HDv3.py:151-164).
     for i in range(5):
         if flow is None:
             x = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, timestep], axis=-1)
             flow, mask, feat = ifnet_block(p, i, x, None, scale_list[i])
         else:
-            wf0 = backwarp(f0, flow[..., 0:2])
-            wf1 = backwarp(f1, flow[..., 2:4])
             x = jnp.concatenate(
                 [warped_img0[..., :3], warped_img1[..., :3], wf0, wf1, timestep, mask, feat],
                 axis=-1,
@@ -132,8 +132,14 @@ def ifnet_apply(
             fd, mask, feat = ifnet_block(p, i, x, flow, scale_list[i])
             flow = flow + fd
         flow_list.append(flow)
-        warped_img0 = backwarp(img0, flow[..., 0:2])
-        warped_img1 = backwarp(img1, flow[..., 2:4])
+        if i < 4:
+            w0 = backwarp(jnp.concatenate([img0, f0], axis=-1), flow[..., 0:2])
+            w1 = backwarp(jnp.concatenate([img1, f1], axis=-1), flow[..., 2:4])
+            warped_img0, wf0 = w0[..., : img0.shape[-1]], w0[..., img0.shape[-1] :]
+            warped_img1, wf1 = w1[..., : img1.shape[-1]], w1[..., img1.shape[-1] :]
+        else:
+            warped_img0 = backwarp(img0, flow[..., 0:2])
+            warped_img1 = backwarp(img1, flow[..., 2:4])
 
     m = jax.nn.sigmoid(mask.astype(jnp.float32)).astype(img0.dtype)
     merged = warped_img0 * m + warped_img1 * (1 - m)

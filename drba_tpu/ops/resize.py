@@ -14,9 +14,45 @@ to a general gather that is slower than the two 1-D passes below.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+
+
+def _axis_down_int(x: jax.Array, k: int, axis: int) -> jax.Array:
+    """Integer-factor bilinear downsample, align_corners=False, as strided
+    slices (gathers are pathologically slow on this TPU stack).
+
+    src = (i + 0.5)k - 0.5 has constant fractional part: 0.5 between taps
+    k*i + (k-2)/2 and k*i + k/2 for even k; exactly k*i + (k-1)/2 for odd k.
+    """
+    x = jnp.moveaxis(x, axis, 0)
+    if k % 2 == 0:
+        a = x[(k - 2) // 2 :: k]
+        b = x[k // 2 :: k]
+        out = (a + b) * jnp.asarray(0.5, x.dtype)
+    else:
+        out = x[(k - 1) // 2 :: k]
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _axis_up_int(x: jax.Array, k: int, axis: int) -> jax.Array:
+    """Integer-factor bilinear upsample, align_corners=False, as per-phase
+    shifted lerps + interleave — no gathers."""
+    x = jnp.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    xp = jnp.concatenate([x[:1], x, x[-1:]], axis=0)  # edge clamp
+    phases = []
+    for p in range(k):
+        src = (p + 0.5) / k - 0.5  # relative to i
+        off = math.floor(src)
+        wgt = src - off
+        a = jax.lax.dynamic_slice_in_dim(xp, off + 1, n, 0)
+        b = jax.lax.dynamic_slice_in_dim(xp, off + 2, n, 0)
+        phases.append(a * jnp.asarray(1 - wgt, x.dtype) + b * jnp.asarray(wgt, x.dtype))
+    out = jnp.stack(phases, axis=1).reshape(n * k, *x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -24,6 +60,11 @@ def _axis_resize(x: jax.Array, out_size: int, axis: int, align_corners: bool) ->
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if not align_corners:
+        if in_size % out_size == 0:
+            return _axis_down_int(x, in_size // out_size, axis)
+        if out_size % in_size == 0:
+            return _axis_up_int(x, out_size // in_size, axis)
     if align_corners and out_size > 1 and in_size > 1:
         src = jnp.arange(out_size, dtype=jnp.float32) * ((in_size - 1) / (out_size - 1))
     else:

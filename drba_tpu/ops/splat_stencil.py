@@ -92,7 +92,7 @@ def _splat_band(vp, dx0p, dy0p, wx1p, wy1p, radius: int):
 
 
 # VMEM budget for one band invocation (bytes), conservative vs ~16MB.
-_VMEM_BUDGET = 4 * 1024 * 1024
+_VMEM_BUDGET = 2500 * 1024  # Mosaic temporaries cost ~3.6x the I/O footprint
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))

@@ -34,7 +34,14 @@ def _gather2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("padding_mode",))
 def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: str) -> jax.Array:
-    """Bilinear sample of img (N,H,W,C) at pixel coords px/py (N,Ho,Wo)."""
+    """Bilinear sample of img (N,H,W,C) at pixel coords px/py (N,Ho,Wo).
+
+    The whole 2x2 bilinear patch comes from ONE ``lax.gather`` with
+    ``slice_sizes=(1,2,2,C)`` — gather cost on TPU is per-index, so this is
+    ~4x cheaper than four corner gathers. The image is edge-padded by one so
+    the patch read at clamped (y0, x0) is always in bounds; corner weights
+    reproduce border/zeros semantics exactly.
+    """
     n, h, w, c = img.shape
     compute = jnp.float32
     px = px.astype(compute)
@@ -47,18 +54,41 @@ def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: s
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # pad by 1 (edge) so the 2x2 patch at clamped corners stays in bounds
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    sy = jnp.clip(y0i + 1, 0, h)  # patch start in padded coords
+    sx = jnp.clip(x0i + 1, 0, w)
+
+    starts = jnp.stack([sy, sx], axis=-1).reshape(n, -1, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(
+        imgp,
+        starts,
+        dn,
+        slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # (N, Ho*Wo, 2, 2, C)
+    patch = patch.reshape(n, *px.shape[1:], 2, 2, c).astype(compute)
+
     out = None
-    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        ix = x0i + dx
-        iy = y0i + dy
-        wgt = (wx if dx else (1 - wx)) * (wy if dy else (1 - wy))
-        if padding_mode == "zeros":
-            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-            wgt = jnp.where(valid, wgt, 0.0)
-        ixc = jnp.clip(ix, 0, w - 1)
-        iyc = jnp.clip(iy, 0, h - 1)
-        v = _gather2d(img, iyc, ixc).astype(compute) * wgt[..., None]
-        out = v if out is None else out + v
+    for dy in (0, 1):
+        for dx in (0, 1):
+            ix = x0i + dx
+            iy = y0i + dy
+            wgt = (wx if dx else (1 - wx)) * (wy if dy else (1 - wy))
+            if padding_mode == "zeros":
+                valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                wgt = jnp.where(valid, wgt, 0.0)
+            else:  # border: clamped corners collapse onto the edge texel
+                pass
+            v = patch[..., dy, dx, :] * wgt[..., None]
+            out = v if out is None else out + v
     return out.astype(img.dtype)
 
 
