@@ -54,26 +54,26 @@ def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: s
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # pad by 1 (edge) so the 2x2 patch at clamped corners stays in bounds
+    # pad by 1 (edge) so the 2x2 patch at clamped corners stays in bounds,
+    # then interleave the 2x2 neighborhood into channels with dense shifts so
+    # ONE flat-row gather fetches the whole bilinear patch (a (2,2,C) gather
+    # output hits XLA tile padding and explodes memory at full-res).
     imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    sy = jnp.clip(y0i + 1, 0, h)  # patch start in padded coords
-    sx = jnp.clip(x0i + 1, 0, w)
+    imgq = jnp.concatenate(
+        [
+            imgp[:, 0 : h + 1, 0 : w + 1, :],
+            imgp[:, 0 : h + 1, 1 : w + 2, :],
+            imgp[:, 1 : h + 2, 0 : w + 1, :],
+            imgp[:, 1 : h + 2, 1 : w + 2, :],
+        ],
+        axis=-1,
+    )  # (N, h+1, w+1, 4C): channel block q holds corner (q//2, q%2)
+    sy = jnp.clip(y0i, -1, h - 1) + 1  # patch start in padded coords
+    sx = jnp.clip(x0i, -1, w - 1) + 1
 
-    starts = jnp.stack([sy, sx], axis=-1).reshape(n, -1, 2)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    patch = jax.lax.gather(
-        imgp,
-        starts,
-        dn,
-        slice_sizes=(1, 2, 2, c),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )  # (N, Ho*Wo, 2, 2, C)
+    flat = imgq.reshape(n, (h + 1) * (w + 1), 4 * c)
+    idx = (sy * (w + 1) + sx).reshape(n, -1)
+    patch = jnp.take_along_axis(flat, idx[..., None], axis=1)
     patch = patch.reshape(n, *px.shape[1:], 2, 2, c).astype(compute)
 
     out = None

@@ -56,3 +56,17 @@ def reference_path():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
     return REFERENCE_ROOT
+
+
+@pytest.fixture(autouse=True)
+def _torch_full_precision():
+    """The reference's softsplat_torch import side-effect lowers torch matmul
+    precision globally (softsplat_torch.py:13); undo it so oracle outputs
+    stay full-precision regardless of test order."""
+    try:
+        import torch
+
+        torch.set_float32_matmul_precision("highest")
+    except ImportError:
+        pass
+    yield
