@@ -43,6 +43,8 @@ def parse_args(argv=None):
                    help="weights root directory (train_log_* subdirs)")
     p.add_argument("--fp32", dest="fp32", action="store_true", default=False,
                    help="compute in float32 instead of bfloat16")
+    p.add_argument("--devices", dest="devices", type=int, default=1,
+                   help="shard the window batch across N chips (rife, no scdet)")
     return p.parse_args(argv)
 
 
@@ -83,14 +85,25 @@ def main(argv=None):
         args.input, args.output, dst_fps=args.dst_fps, times=args.times, hwaccel=args.hwaccel
     )
     pbar = tqdm(total=video_io.total_frames_count)
-    stats = run_pipeline(
-        model,
-        video_io,
-        enable_scdet=args.enable_scdet,
-        scdet_threshold=args.scdet_threshold,
-        progress=pbar.update,
-        times=args.times,
-    )
+    if args.devices > 1 and args.model_type == "rife" and not args.enable_scdet:
+        from drba_tpu.parallel.pipeline import run_pipeline_parallel
+
+        stats = run_pipeline_parallel(
+            model, video_io, n_devices=args.devices,
+            progress=pbar.update, times=args.times,
+        )
+    else:
+        if args.devices > 1:
+            print("[drba_tpu] multi-device plan currently covers rife without "
+                  "scdet; falling back to the serial pipeline")
+        stats = run_pipeline(
+            model,
+            video_io,
+            enable_scdet=args.enable_scdet,
+            scdet_threshold=args.scdet_threshold,
+            progress=pbar.update,
+            times=args.times,
+        )
     pbar.close()
     print(
         f"done: {stats.frames_in} frames in, {stats.frames_out} frames out, "

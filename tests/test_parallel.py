@@ -71,3 +71,28 @@ def test_graft_entry_contract():
     assert out.shape[0] == 3  # T timesteps
 
     mod.dryrun_multichip(8)
+
+
+def test_parallel_pipeline_end_to_end(tmp_path):
+    """Multi-device window pipeline over the virtual 8-device mesh."""
+    import cv2
+
+    from drba_tpu.cli import main
+
+    H, W = 64, 128
+    inp = str(tmp_path / "in.mp4")
+    outp = str(tmp_path / "out.mp4")
+    w = cv2.VideoWriter(inp, cv2.VideoWriter_fourcc(*"mp4v"), 12, (W, H))
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+    for i in range(12):
+        w.write(np.roll(base, 4 * i, axis=1))
+    w.release()
+
+    stats = main(["-m", "rife", "-i", inp, "-o", outp, "-t", "2", "--fp32",
+                  "--devices", "8", "--weights", str(tmp_path / "none")])
+    assert stats.frames_in == 12
+    assert stats.frames_out == 24
+    cap = cv2.VideoCapture(outp)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 24
+    cap.release()
