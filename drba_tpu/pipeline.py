@@ -15,6 +15,8 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -22,6 +24,56 @@ import numpy as np
 
 from drba_tpu.utils import TMapper, check_scene, get_valid_net_inp_size, to_inp, to_out
 from drba_tpu.utils.video_io import VideoFI_IO
+
+
+class _Prefetcher:
+    """Decode+upload thread: hides host->device frame transfer latency
+    (the scarce resource on relayed TPU runtimes) behind window compute."""
+
+    def __init__(self, video_io, dst_size, dtype, depth: int = 3):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._t = threading.Thread(
+            target=self._loop, args=(video_io, dst_size, dtype), daemon=True
+        )
+        self._t.start()
+
+    def _loop(self, video_io, dst_size, dtype):
+        while True:
+            frame = video_io.read_frame()
+            if frame is None:
+                self._q.put(None)
+                return
+            self._q.put(to_inp(frame, dst_size, dtype))
+
+    def next(self):
+        return self._q.get()
+
+
+class _Emitter:
+    """Download+encode thread: drains finished device frames in order."""
+
+    def __init__(self, video_io, src_size, stats, depth: int = 8):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._video_io = video_io
+        self._src_size = src_size
+        self._stats = stats
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            x = self._q.get()
+            if x is None:
+                return
+            self._video_io.write_frame(to_out(x, self._src_size))
+            self._stats.frames_out += 1
+
+    def emit(self, x):
+        self._q.put(x)
+
+    def finish(self):
+        self._q.put(None)
+        self._t.join(timeout=600)
 
 
 def calc_ts(idx: float, t_mapper: TMapper, times: int) -> np.ndarray:
@@ -78,9 +130,9 @@ def run_pipeline(
     t_mapper = TMapper(src_fps, dst_fps, times)
     idx = 0
 
-    def emit(x):
-        video_io.write_frame(to_out(x, src_size))
-        stats.frames_out += 1
+    prefetch = _Prefetcher(video_io, dst_size, dtype)
+    emitter = _Emitter(video_io, src_size, stats)
+    emit = emitter.emit
 
     # ---- head (infer.py:93-110) ------------------------------------------
     ts = calc_ts(idx, t_mapper, times)
@@ -105,11 +157,10 @@ def run_pipeline(
     while True:
         if max_frames is not None and stats.frames_in >= max_frames:
             break
-        i2 = video_io.read_frame()
-        if i2 is None:
+        I2 = prefetch.next()
+        if I2 is None:
             break
         stats.frames_in += 1
-        I2 = to_inp(i2, dst_size, dtype)
 
         ts = calc_ts(idx, t_mapper, times)
         right_scene = check_scene(I1, I2, scdet_threshold) if enable_scdet else False
@@ -158,5 +209,6 @@ def run_pipeline(
     if progress:
         progress(1)
 
+    emitter.finish()
     video_io.finish_writing()
     return stats

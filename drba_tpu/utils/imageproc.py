@@ -9,6 +9,8 @@ Mirrors models/utils/tools.py:33-72 with NHWC layout:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,16 +28,31 @@ def get_valid_net_inp_size(img: np.ndarray, scale: float, div: int = 64) -> dict
     return {"src_size": (src_h, src_w), "dst_size": (h, w)}
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _u8_to_float(img_u8: jax.Array, dtype) -> jax.Array:
+    return img_u8.astype(dtype)[None] / 255.0
+
+
+@jax.jit
+def _float_to_u8(x: jax.Array) -> jax.Array:
+    return jnp.clip(x[0].astype(jnp.float32) * 255.0, 0, 255).astype(jnp.uint8)
+
+
 def to_tensor(img: np.ndarray, dtype=jnp.float32) -> jax.Array:
-    """HWC uint8 -> (1,H,W,C) float in [0,1] on device."""
-    return jnp.asarray(img, dtype=dtype)[None] / 255.0
+    """HWC uint8 -> (1,H,W,C) float in [0,1] on device.
+
+    The frame crosses the host boundary as uint8 (host<->device bandwidth is
+    the scarce resource on relayed TPU runtimes: 4x less bytes than f32) and
+    is normalized on device.
+    """
+    return _u8_to_float(jnp.asarray(np.ascontiguousarray(img)), dtype)
 
 
 def to_uint8(x: jax.Array) -> np.ndarray:
     """(1,H,W,C) float [0,1] -> HWC uint8 on host (truncation, like
-    ``(x*255).astype(uint8)`` at tools.py:38)."""
-    arr = np.asarray(jnp.clip(x[0].astype(jnp.float32) * 255.0, 0, 255))
-    return arr.astype(np.uint8)
+    ``(x*255).astype(uint8)`` at tools.py:38); quantized on device so only
+    uint8 crosses the host boundary."""
+    return np.asarray(_float_to_u8(x))
 
 
 def to_inp(img: np.ndarray, dst_size: tuple[int, int], dtype=jnp.float32) -> jax.Array:
