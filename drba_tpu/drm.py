@@ -116,11 +116,8 @@ def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False)
     drm_t0 = _retime(drm10, t, linear)
     drm_t1 = _retime(drm12, t, linear)
 
-    ones = jnp.ones_like(drm10)
-    w01 = softsplat(drm_t1, flow10 * drm_t1, None, "avg")
-    w12 = softsplat(drm_t0, flow12 * drm_t0, None, "avg")
-    m01 = softsplat(ones, flow10 * drm_t1, None, "avg")
-    m12 = softsplat(ones, flow12 * drm_t0, None, "avg")
+    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, None, "avg", return_coverage=True)
+    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, None, "avg", return_coverage=True)
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),
@@ -151,11 +148,8 @@ def calc_drm_gmfss(
     drm2t_u = 1.0 - drm1t_t12
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    ones = jnp.ones_like(drm10)
-    w0 = softsplat(drm0t_u, flow10, metric10, mode)
-    w2 = softsplat(drm2t_u, flow12, metric12, mode)
-    m0 = softsplat(ones, flow10, metric10, mode)
-    m2 = softsplat(ones, flow12, metric12, mode)
+    w0, m0 = softsplat(drm0t_u, flow10, metric10, mode, return_coverage=True)
+    w2, m2 = softsplat(drm2t_u, flow12, metric12, mode, return_coverage=True)
 
     return DrmGmfss(
         drm0t_t01=_hole_fill(w0, m0, drm0t_u),
@@ -183,11 +177,8 @@ def calc_drm_rife_auxiliary(
     drm_t1 = _retime(drm12, t, linear)
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    ones = jnp.ones_like(drm10)
-    w01 = softsplat(drm_t1, flow10 * drm_t1, metric10, mode)
-    w12 = softsplat(drm_t0, flow12 * drm_t0, metric12, mode)
-    m01 = softsplat(ones, flow10 * drm_t1, metric10, mode)
-    m12 = softsplat(ones, flow12 * drm_t0, metric12, mode)
+    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, metric10, mode, return_coverage=True)
+    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, metric12, mode, return_coverage=True)
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),

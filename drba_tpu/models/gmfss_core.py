@@ -77,11 +77,26 @@ def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False) -
     return Reuse(flow01, flow10, metric0, metric1, feat0, feat1)
 
 
-def _warp_pyramid(img_h, feats, Ft, Zt):
+def _warp_pyramid(img_h, feats, Ft, Zt, extra=None):
     """Soft-splat an image + 3-level feature pyramid along scaled flows
-    (GMFSS.py:95-115). Flow/metric are rescaled per pyramid level."""
-    It = softsplat(img_h, Ft, Zt, "soft")
-    f1 = softsplat(feats[0], Ft, Zt, "soft")
+    (GMFSS.py:95-115). Flow/metric are rescaled per pyramid level.
+
+    TPU note: the image, level-1 features and any ``extra`` channels (the
+    union path's timestep map) share (Ft, Zt), so they splat in ONE kernel
+    call; the warped-ones coverage comes from the same call's denominator
+    (the reference issues a separate splat per tensor,
+    model_gmfss_union/GMFSS.py:93-121). Returns (It, feats, extra, coverage).
+    """
+    c_img = img_h.shape[-1]
+    packed = [img_h, feats[0]]
+    if extra is not None:
+        packed.append(extra)
+    w1, cov1 = softsplat(
+        jnp.concatenate(packed, axis=-1), Ft, Zt, "soft", return_coverage=True
+    )
+    It = w1[..., :c_img]
+    f1 = w1[..., c_img : c_img + feats[0].shape[-1]]
+    extra_w = w1[..., c_img + feats[0].shape[-1] :] if extra is not None else None
 
     h2, w2 = feats[1].shape[1], feats[1].shape[2]
     Ftd = resize_bilinear(Ft, (h2, w2)) * 0.5
@@ -92,7 +107,7 @@ def _warp_pyramid(img_h, feats, Ft, Zt):
     Ftdd = resize_bilinear(Ft, (h3, w3)) * 0.25
     Ztdd = resize_bilinear(Zt, (h3, w3))
     f3 = softsplat(feats[2], Ftdd, Ztdd, "soft")
-    return It, (f1, f2, f3)
+    return It, (f1, f2, f3), extra_w, cov1
 
 
 def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1):
@@ -105,8 +120,8 @@ def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timeste
     img0h = scale_by(img0, 0.5)
     img1h = scale_by(img1, 0.5)
 
-    I1t, f1 = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t)
-    I2t, f2 = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t)
+    I1t, f1, _, _ = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t)
+    I2t, f2, _, _ = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t)
 
     out = gridnet_apply(
         p.fusionnet,
@@ -134,16 +149,18 @@ def gmfss_union_inference(
     img0h = scale_by(img0, 0.5)
     img1h = scale_by(img1, 0.5)
 
-    I1t, f1 = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t)
-    I2t, f2 = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t)
+    is_map = enable_mask and hasattr(timestep0, "shape") and getattr(timestep0, "ndim", 0) == 4
+    I1t, f1, w_t0, cov0 = _warp_pyramid(
+        img0h, reuse.feat0, F1t, Z1t, extra=timestep0 if is_map else None
+    )
+    I2t, f2, w_t1, cov1 = _warp_pyramid(
+        img1h, reuse.feat1, F2t, Z2t, extra=timestep1 if is_map else None
+    )
     f1, f2 = list(f1), list(f2)
 
-    if enable_mask and hasattr(timestep0, "shape") and getattr(timestep0, "ndim", 0) == 4:
-        ones = jnp.ones_like(timestep0)
-        w_t0 = softsplat(timestep0, F1t, Z1t, "soft")
-        w_t1 = softsplat(timestep1, F2t, Z2t, "soft")
-        gaps0 = softsplat(ones, F1t, Z1t, "soft") < 0.999
-        gaps1 = softsplat(ones, F2t, Z2t, "soft") < 0.999
+    if is_map:
+        gaps0 = cov0 < 0.999
+        gaps1 = cov1 < 0.999
         invalid = jnp.logical_or(gaps0, gaps1)
         w_t0 = jnp.where(invalid, 1.0, w_t0)
         w_t1 = jnp.where(invalid, 1.0, w_t1)

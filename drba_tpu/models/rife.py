@@ -44,12 +44,10 @@ def _calc_flow(params, a, b, scale0: float, f0=None, f1=None):
     flow50 = flow[..., 0:2]  # flow from t=0.5 toward a
     flow51 = flow[..., 2:4]  # flow from t=0.5 toward b
 
-    flow05 = -softsplat(flow50, flow50, None, "avg")
-    flow15 = -softsplat(flow51, flow51, None, "avg")
-
-    ones = jnp.ones_like(flow50)
-    mask05 = softsplat(ones, flow50, None, "avg")
-    mask15 = softsplat(ones, flow51, None, "avg")
+    w05, mask05 = softsplat(flow50, flow50, None, "avg", return_coverage=True)
+    w15, mask15 = softsplat(flow51, flow51, None, "avg", return_coverage=True)
+    flow05 = -w05
+    flow15 = -w15
 
     h, w = a.shape[1], a.shape[2]
     sentinel = jnp.asarray(float(max(h, w)), flow05.dtype)

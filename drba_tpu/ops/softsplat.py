@@ -208,19 +208,26 @@ def _resolve_backend(backend: str) -> str:
     return "stencil" if _jax.default_backend() not in ("cpu",) else "scatter"
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "backend"))
+@functools.partial(jax.jit, static_argnames=("mode", "backend", "return_coverage"))
 def softsplat(
     ten: jax.Array,
     flow: jax.Array,
     metric: jax.Array | None,
     mode: str = "avg",
     backend: str = "auto",
+    return_coverage: bool = False,
 ) -> jax.Array:
     """Forward-splat ``ten`` (N,H,W,C) along ``flow`` (N,H,W,2).
 
     Mirrors the reference call signature ``softsplat(tenIn, tenFlow,
     tenMetric, strMode)`` (models/softsplat/softsplat.py:248) with NHWC
     layout. ``metric`` is (N,H,W,1) for 'linear'/'soft', None otherwise.
+
+    ``return_coverage=True`` additionally returns the warped all-ones mask
+    ``warp(1, flow, metric, mode) = denom/(denom+eps)`` derived from the
+    splat's own denominator — the reference computes it with a second full
+    splat call per flow (models/drm.py:139-140, models/rife.py:63-64); here
+    it is free.
     """
     parts = mode.split("-")
     main, sub = parts[0], (parts[1] if len(parts) > 1 else None)
@@ -229,6 +236,7 @@ def softsplat(
         assert metric is None
     else:
         assert metric is not None
+    assert not (return_coverage and main == "sum")
 
     compute = jnp.float32
     x = ten.astype(compute)
@@ -248,11 +256,14 @@ def softsplat(
     if main == "sum":
         return out.astype(ten.dtype)
 
-    norm = out[..., -1:]
+    raw = out[..., -1:]
     if sub is None or sub == "addeps":
-        norm = norm + _EPS
+        norm = raw + _EPS
     elif sub == "zeroeps":
-        norm = jnp.where(norm == 0.0, 1.0, norm)
+        norm = jnp.where(raw == 0.0, 1.0, raw)
     elif sub == "clipeps":
-        norm = jnp.clip(norm, _EPS, None)
-    return (out[..., :-1] / norm).astype(ten.dtype)
+        norm = jnp.clip(raw, _EPS, None)
+    result = (out[..., :-1] / norm).astype(ten.dtype)
+    if return_coverage:
+        return result, (raw / norm).astype(ten.dtype)
+    return result
