@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from drba_tpu.models.layers import Params, conv2d, conv_transpose2d, leaky_relu
 from drba_tpu.ops import backwarp, pixel_shuffle
+from drba_tpu.ops.warp import _sample_pixels
 from drba_tpu.ops.resize import resize_bilinear
 
 BLOCK_CHANNELS = (192, 128, 96, 64, 32)
@@ -68,14 +69,59 @@ def ifnet_encode(p: Params, img: jax.Array) -> jax.Array:
     return x
 
 
+def _warp_then_downsample(img: jax.Array, flow: jax.Array, k: int) -> jax.Array:
+    """Exactly ``downsample_k(backwarp(img, flow))`` with 4x/k^2 fewer gather
+    indices: the 2-tap-per-axis bilinear downsample (see ops/resize.py) only
+    reads the warped image at a strided tap grid, so the warp is evaluated
+    there directly. Gather cost on this TPU is per-index — for k=8 this is a
+    16x cheaper program with bit-identical output."""
+    if k == 1:
+        return backwarp(img, flow)
+    n, h, w, _ = img.shape
+
+    def tap_starts(kk):
+        if kk % 2 == 0:
+            return ((kk - 2) // 2, kk // 2)
+        return ((kk - 1) // 2,)
+
+    ys = tap_starts(k)
+    xs = tap_starts(k)
+    # tap coordinate grids (static) and flow sampled AT the taps
+    ty = jnp.concatenate([jnp.arange(s, h, k, dtype=jnp.float32) for s in ys])
+    ty = jnp.sort(ty)
+    tx = jnp.sort(jnp.concatenate([jnp.arange(s, w, k, dtype=jnp.float32) for s in xs]))
+    iy = ty.astype(jnp.int32)
+    ix = tx.astype(jnp.int32)
+    flow_t = flow[:, iy][:, :, ix]  # strided: dense slices under the hood
+    px = tx[None, None, :] + flow_t[..., 0].astype(jnp.float32)
+    py = ty[None, :, None] + flow_t[..., 1].astype(jnp.float32)
+    warped_taps = _sample_pixels(img, px, py, "border")  # (N, len(ty), len(tx), C)
+    if k % 2 == 0:
+        # 2x2 tap average = the separable 0.5/0.5 bilinear downsample
+        nt_h, nt_w = warped_taps.shape[1] // 2, warped_taps.shape[2] // 2
+        v = warped_taps.reshape(n, nt_h, 2, nt_w, 2, img.shape[-1])
+        return v.mean(axis=(2, 4)).astype(img.dtype)
+    return warped_taps
+
+
 def ifnet_block(
-    p: Params, idx: int, x: jax.Array, flow: jax.Array | None, scale: float
+    p: Params, idx: int, x: jax.Array, flow: jax.Array | None, scale: float,
+    x_at_scale: bool = False, out_size: tuple[int, int] | None = None,
 ):
-    """One IFBlock at pyramid scale ``scale`` (IFNet_HDv3.py:84-96)."""
+    """One IFBlock at pyramid scale ``scale`` (IFNet_HDv3.py:84-96).
+
+    ``x_at_scale=True`` means the caller already built ``x`` at the block's
+    working resolution (the warp-then-downsample fast path); ``out_size``
+    then gives the full resolution to upsample back to.
+    """
     b = f"block{idx}"
-    n, h, w, _ = x.shape
-    hs, ws = int(h / scale), int(w / scale)
-    x = resize_bilinear(x, (hs, ws))
+    if x_at_scale:
+        hs, ws = x.shape[1], x.shape[2]
+        h, w = out_size
+    else:
+        n, h, w, _ = x.shape
+        hs, ws = int(h / scale), int(w / scale)
+        x = resize_bilinear(x, (hs, ws))
     if flow is not None:
         flow = resize_bilinear(flow, (hs, ws)) * (1.0 / scale)
         x = jnp.concatenate([x, flow], axis=-1)
@@ -113,34 +159,53 @@ def ifnet_apply(
     if f1 is None:
         f1 = ifnet_encode(p, img1[..., :3])
 
+    h, w = img0.shape[1], img0.shape[2]
     flow = None
     mask = None
     feat = None
     flow_list = []
-    # TPU note: gather cost is per-index, so each stage warps cat(img, feat)
-    # with ONE bilinear-patch gather per direction instead of the reference's
-    # separate img / feature warp calls (IFNet_HDv3.py:151-164).
+    # TPU notes (gather cost is per-index):
+    #  * each stage warps cat(img, feat) with ONE bilinear-patch gather per
+    #    direction instead of separate img/feature warps (IFNet_HDv3.py:151-164);
+    #  * stages working at integer pyramid scale k fuse the warp with the
+    #    block-input downsample (_warp_then_downsample): gather indices drop
+    #    by k^2/4 with identical values.
     for i in range(5):
         if flow is None:
             x = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, timestep], axis=-1)
             flow, mask, feat = ifnet_block(p, i, x, None, scale_list[i])
         else:
-            x = jnp.concatenate(
-                [warped_img0[..., :3], warped_img1[..., :3], wf0, wf1, timestep, mask, feat],
-                axis=-1,
-            )
-            fd, mask, feat = ifnet_block(p, i, x, flow, scale_list[i])
+            sc = scale_list[i]
+            ki = int(sc) if float(sc).is_integer() and sc >= 2 and h % int(sc) == 0 and w % int(sc) == 0 else None
+            if ki is not None:
+                w0 = _warp_then_downsample(
+                    jnp.concatenate([img0[..., :3], f0], axis=-1), flow[..., 0:2], ki
+                )
+                w1 = _warp_then_downsample(
+                    jnp.concatenate([img1[..., :3], f1], axis=-1), flow[..., 2:4], ki
+                )
+                rest = resize_bilinear(
+                    jnp.concatenate([timestep, mask, feat], axis=-1), (h // ki, w // ki)
+                )
+                x = jnp.concatenate(
+                    [w0[..., :3], w1[..., :3], w0[..., 3:], w1[..., 3:], rest], axis=-1
+                )
+                fd, mask, feat = ifnet_block(
+                    p, i, x, flow, sc, x_at_scale=True, out_size=(h, w)
+                )
+            else:
+                wf0 = backwarp(jnp.concatenate([img0[..., :3], f0], axis=-1), flow[..., 0:2])
+                wf1 = backwarp(jnp.concatenate([img1[..., :3], f1], axis=-1), flow[..., 2:4])
+                x = jnp.concatenate(
+                    [wf0[..., :3], wf1[..., :3], wf0[..., 3:], wf1[..., 3:], timestep, mask, feat],
+                    axis=-1,
+                )
+                fd, mask, feat = ifnet_block(p, i, x, flow, sc)
             flow = flow + fd
         flow_list.append(flow)
-        if i < 4:
-            w0 = backwarp(jnp.concatenate([img0, f0], axis=-1), flow[..., 0:2])
-            w1 = backwarp(jnp.concatenate([img1, f1], axis=-1), flow[..., 2:4])
-            warped_img0, wf0 = w0[..., : img0.shape[-1]], w0[..., img0.shape[-1] :]
-            warped_img1, wf1 = w1[..., : img1.shape[-1]], w1[..., img1.shape[-1] :]
-        else:
-            warped_img0 = backwarp(img0, flow[..., 0:2])
-            warped_img1 = backwarp(img1, flow[..., 2:4])
 
+    warped_img0 = backwarp(img0, flow[..., 0:2])
+    warped_img1 = backwarp(img1, flow[..., 2:4])
     m = jax.nn.sigmoid(mask.astype(jnp.float32)).astype(img0.dtype)
     merged = warped_img0 * m + warped_img1 * (1 - m)
     return merged, flow_list
