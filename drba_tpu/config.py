@@ -23,19 +23,24 @@ class Config:
       flow_scale: optical-flow resolution scale; mirrors the reference's
         ``-scale`` flag (infer.py:34-35): 1.0 at 1080p, 0.5 at 4K.
       splat_backend: which forward-splat implementation to use:
-        'auto' | 'scatter' | 'sort' | 'pallas'.
-      ts_bucket: static upper bound on interpolated timesteps per 3-frame
-        window. Timestep lists are padded/masked to this length so the whole
-        window compiles to a single XLA program (the reference loops per-t in
-        Python, one kernel launch chain per t: models/rife.py:88-106).
+        'auto' | 'scatter' | 'sort' | 'shift' | 'stencil'. 'auto' picks the
+        Pallas 'stencil' kernel on TPU (exact within its radius, see
+        ops/softsplat.py) and the bit-exact 'scatter' spec on CPU. Threaded
+        as a static argument through every jitted model program, so two
+        models with different backends coexist safely in one process.
       scdet_threshold: SSIM threshold for scene-change detection
         (infer.py:30-31).
+
+    Note on timestep-count program shapes: fps-mode windows produce at most
+    two distinct ts counts (floor/ceil of the fps ratio, utils/tmapper.py),
+    so the serial pipeline compiles at most two window programs per
+    resolution and needs no ts bucketing; the multi-device planner derives
+    its own pad bucket from the fps ratio (parallel/pipeline.py).
     """
 
     compute_dtype: jnp.dtype = jnp.bfloat16
     flow_scale: float = 1.0
     splat_backend: str = "auto"
-    ts_bucket: int = 4
     scdet_threshold: float = 0.3
     seed: int = 0
 

@@ -106,18 +106,22 @@ class DrmRife(NamedTuple):
     drm_t1_t12: jax.Array
 
 
-def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False) -> DrmRife:
+def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False,
+                  backend: str = "auto") -> DrmRife:
     """DRM timestep maps for the RIFE (backward-warp) path (drm.py:65-107).
 
     RIFE consumes the DRM as a per-pixel timestep, aligned to the
     intermediate frame's time by forward-warping along ``flow * drm``.
+    ``backend`` selects the softsplat implementation (Config.splat_backend).
     """
     drm10, drm12 = _ratio_maps(flow10, flow12, eps=1e-4)
     drm_t0 = _retime(drm10, t, linear)
     drm_t1 = _retime(drm12, t, linear)
 
-    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, None, "avg", return_coverage=True)
-    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, None, "avg", return_coverage=True)
+    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, None, "avg",
+                         backend=backend, return_coverage=True)
+    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, None, "avg",
+                         backend=backend, return_coverage=True)
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),
@@ -139,6 +143,7 @@ def calc_drm_gmfss(
     metric10: jax.Array | None,
     metric12: jax.Array | None,
     linear: bool = False,
+    backend: str = "auto",
 ) -> DrmGmfss:
     """DRM timestep maps for the GMFSS (forward-warp) path (drm.py:110-155)."""
     drm10, drm12 = _ratio_maps(flow10, flow12, eps=0.0)
@@ -148,8 +153,10 @@ def calc_drm_gmfss(
     drm2t_u = 1.0 - drm1t_t12
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    w0, m0 = softsplat(drm0t_u, flow10, metric10, mode, return_coverage=True)
-    w2, m2 = softsplat(drm2t_u, flow12, metric12, mode, return_coverage=True)
+    w0, m0 = softsplat(drm0t_u, flow10, metric10, mode,
+                       backend=backend, return_coverage=True)
+    w2, m2 = softsplat(drm2t_u, flow12, metric12, mode,
+                       backend=backend, return_coverage=True)
 
     return DrmGmfss(
         drm0t_t01=_hole_fill(w0, m0, drm0t_u),
@@ -166,6 +173,7 @@ def calc_drm_rife_auxiliary(
     metric10: jax.Array | None,
     metric12: jax.Array | None,
     linear: bool = False,
+    backend: str = "auto",
 ) -> DrmRife:
     """DRM maps for the auxiliary RIFE inside GMFSS_UNION (drm.py:158-195).
 
@@ -177,8 +185,10 @@ def calc_drm_rife_auxiliary(
     drm_t1 = _retime(drm12, t, linear)
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, metric10, mode, return_coverage=True)
-    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, metric12, mode, return_coverage=True)
+    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, metric10, mode,
+                         backend=backend, return_coverage=True)
+    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, metric12, mode,
+                         backend=backend, return_coverage=True)
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),

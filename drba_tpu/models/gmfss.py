@@ -32,12 +32,13 @@ def _select_reuse(left, a: Reuse, b: Reuse) -> Reuse:
     return jax.tree_util.tree_map(lambda x, y: jnp.where(left, x, y), a, b)
 
 
-def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse, linear):
+def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse,
+                  linear, backend):
     """One timestep of the DRBA window (models/gmfss.py:47-66)."""
     tt = jnp.where(t < 1, 1 - t, t - 1)
     drm = calc_drm_gmfss(
         tt, reuse10.flow01, reuse12.flow01, reuse10.metric0, reuse12.metric0,
-        linear=linear,
+        linear=linear, backend=backend,
     )
     left = t < 1
     imgB = jnp.where(left, I0, I2)
@@ -45,27 +46,29 @@ def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse,
     t0 = jnp.where(left, drm.drm1t_t01, drm.drm1t_t12)
     t1 = jnp.where(left, drm.drm0t_t01, drm.drm2t_t12)
 
-    out = gmfss_inference(p, I1, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype))
+    out = gmfss_inference(p, I1, imgB, reuse, t0.astype(I1.dtype),
+                          t1.astype(I1.dtype), backend=backend)
     return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
 
 
-@functools.partial(jax.jit, static_argnames=("linear",))
-def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse, linear):
+@functools.partial(jax.jit, static_argnames=("linear", "backend"))
+def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
+                 linear, backend="auto"):
     fn = functools.partial(
         _interp_one_t, p, I0=I0, I1=I1, I2=I2, reuse10=reuse10, reuse12=reuse12,
-        linear=linear,
+        linear=linear, backend=backend,
     )
     return jax.vmap(lambda t: fn(t))(ts)
 
 
-def _ts_one(p: GmfssParams, t, I0, I1, reuse: Reuse):
-    out = gmfss_inference(p, I0, I1, reuse, t, 1 - t)
+def _ts_one(p: GmfssParams, t, I0, I1, reuse: Reuse, backend):
+    out = gmfss_inference(p, I0, I1, reuse, t, 1 - t, backend=backend)
     return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
 
 
-@jax.jit
-def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse):
-    return jax.vmap(lambda t: _ts_one(p, t, I0, I1, reuse))(ts)
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse, backend="auto"):
+    return jax.vmap(lambda t: _ts_one(p, t, I0, I1, reuse, backend))(ts)
 
 
 class GMFSS:
@@ -93,7 +96,8 @@ class GMFSS:
         if len(ts) == 0:
             return []
         reuse = self.reuse(I0, I1)
-        out = _ts_batch(self.params, I0, I1, jnp.asarray(ts, jnp.float32), reuse)
+        out = _ts_batch(self.params, I0, I1, jnp.asarray(ts, jnp.float32), reuse,
+                        backend=self.config.splat_backend)
         return [out[i] for i in range(len(ts))]
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
@@ -104,7 +108,7 @@ class GMFSS:
         if len(ts) > 0:
             out = _drba_window(
                 self.params, I0, I1, I2, jnp.asarray(ts, jnp.float32),
-                reuse10, reuse12, linear,
+                reuse10, reuse12, linear, self.config.splat_backend,
             )
             frames = [out[i] for i in range(len(ts))]
 

@@ -77,7 +77,7 @@ def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False) -
     return Reuse(flow01, flow10, metric0, metric1, feat0, feat1)
 
 
-def _warp_pyramid(img_h, feats, Ft, Zt, extra=None):
+def _warp_pyramid(img_h, feats, Ft, Zt, extra=None, backend="auto"):
     """Soft-splat an image + 3-level feature pyramid along scaled flows
     (GMFSS.py:95-115). Flow/metric are rescaled per pyramid level.
 
@@ -92,7 +92,8 @@ def _warp_pyramid(img_h, feats, Ft, Zt, extra=None):
     if extra is not None:
         packed.append(extra)
     w1, cov1 = softsplat(
-        jnp.concatenate(packed, axis=-1), Ft, Zt, "soft", return_coverage=True
+        jnp.concatenate(packed, axis=-1), Ft, Zt, "soft",
+        backend=backend, return_coverage=True,
     )
     It = w1[..., :c_img]
     f1 = w1[..., c_img : c_img + feats[0].shape[-1]]
@@ -101,16 +102,17 @@ def _warp_pyramid(img_h, feats, Ft, Zt, extra=None):
     h2, w2 = feats[1].shape[1], feats[1].shape[2]
     Ftd = resize_bilinear(Ft, (h2, w2)) * 0.5
     Ztd = resize_bilinear(Zt, (h2, w2))
-    f2 = softsplat(feats[1], Ftd, Ztd, "soft")
+    f2 = softsplat(feats[1], Ftd, Ztd, "soft", backend=backend)
 
     h3, w3 = feats[2].shape[1], feats[2].shape[2]
     Ftdd = resize_bilinear(Ft, (h3, w3)) * 0.25
     Ztdd = resize_bilinear(Zt, (h3, w3))
-    f3 = softsplat(feats[2], Ftdd, Ztdd, "soft")
+    f3 = softsplat(feats[2], Ftdd, Ztdd, "soft", backend=backend)
     return It, (f1, f2, f3), extra_w, cov1
 
 
-def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1):
+def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1,
+                    backend: str = "auto"):
     """Model.inference (model_gmfss/GMFSS.py:83-190): splat-and-fuse."""
     F1t = timestep0 * reuse.flow01
     F2t = timestep1 * reuse.flow10
@@ -120,8 +122,8 @@ def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timeste
     img0h = scale_by(img0, 0.5)
     img1h = scale_by(img1, 0.5)
 
-    I1t, f1, _, _ = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t)
-    I2t, f2, _, _ = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t)
+    I1t, f1, _, _ = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t, backend=backend)
+    I2t, f2, _, _ = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t, backend=backend)
 
     out = gridnet_apply(
         p.fusionnet,
@@ -135,7 +137,7 @@ def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timeste
 
 def gmfss_union_inference(
     p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1, rife,
-    enable_mask: bool = True,
+    enable_mask: bool = True, backend: str = "auto",
 ):
     """Union Model.inference (model_gmfss_union/GMFSS.py:80-155): GridNet head
     consumes cat(I1t, rife, I2t); the timestep-swap mask kills ghosting where
@@ -151,10 +153,12 @@ def gmfss_union_inference(
 
     is_map = enable_mask and hasattr(timestep0, "shape") and getattr(timestep0, "ndim", 0) == 4
     I1t, f1, w_t0, cov0 = _warp_pyramid(
-        img0h, reuse.feat0, F1t, Z1t, extra=timestep0 if is_map else None
+        img0h, reuse.feat0, F1t, Z1t, extra=timestep0 if is_map else None,
+        backend=backend,
     )
     I2t, f2, w_t1, cov1 = _warp_pyramid(
-        img1h, reuse.feat1, F2t, Z2t, extra=timestep1 if is_map else None
+        img1h, reuse.feat1, F2t, Z2t, extra=timestep1 if is_map else None,
+        backend=backend,
     )
     f1, f2 = list(f1), list(f2)
 

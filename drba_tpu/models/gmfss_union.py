@@ -35,13 +35,15 @@ from drba_tpu.ops.resize import resize_bilinear, scale_by
 
 
 def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
-                  reuse10: Reuse, reuse12: Reuse, scale_list, linear):
+                  reuse10: Reuse, reuse12: Reuse, scale_list, linear, backend):
     tt = jnp.where(t < 1, 1 - t, t - 1)
     flow10, flow12 = reuse10.flow01, reuse12.flow01
     metric10, metric12 = reuse10.metric0, reuse12.metric0
 
-    drm_g = calc_drm_gmfss(tt, flow10, flow12, metric10, metric12, linear=linear)
-    drm_r = calc_drm_rife_auxiliary(tt, flow10, flow12, metric10, metric12, linear=linear)
+    drm_g = calc_drm_gmfss(tt, flow10, flow12, metric10, metric12,
+                           linear=linear, backend=backend)
+    drm_r = calc_drm_rife_auxiliary(tt, flow10, flow12, metric10, metric12,
+                                    linear=linear, backend=backend)
 
     left = t < 1
     imgB = jnp.where(left, I0, I2)
@@ -57,32 +59,38 @@ def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
     rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype), scale_list)
 
     out = gmfss_union_inference(
-        p, I1, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype), rife
+        p, I1, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype), rife,
+        backend=backend,
     )
     return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
 
 
-@functools.partial(jax.jit, static_argnames=("scale_list", "linear"))
-def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list, linear):
+@functools.partial(jax.jit, static_argnames=("scale_list", "linear", "backend"))
+def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
+                 linear, backend="auto"):
     fn = functools.partial(
         _interp_one_t, p, rife_params, I0=I0, I1=I1, I2=I2,
         reuse10=reuse10, reuse12=reuse12, scale_list=scale_list, linear=linear,
+        backend=backend,
     )
     return jax.vmap(lambda t: fn(t))(ts)
 
 
-def _ts_one(p, rife_params, t, I0, I1, reuse, scale_list):
+def _ts_one(p, rife_params, t, I0, I1, reuse, scale_list, backend):
     I0s = scale_by(I0, 0.5)
     I1s = scale_by(I1, 0.5)
     tmap = jnp.full_like(I0s[..., :1], 0.0) + t
     rife, _ = ifnet_apply(rife_params, I0s, I1s, tmap.astype(I0s.dtype), scale_list)
-    out = gmfss_union_inference(p, I0, I1, reuse, t, 1 - t, rife, enable_mask=False)
+    out = gmfss_union_inference(p, I0, I1, reuse, t, 1 - t, rife,
+                                enable_mask=False, backend=backend)
     return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
 
 
-@functools.partial(jax.jit, static_argnames=("scale_list",))
-def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list):
-    return jax.vmap(lambda t: _ts_one(p, rife_params, t, I0, I1, reuse, scale_list))(ts)
+@functools.partial(jax.jit, static_argnames=("scale_list", "backend"))
+def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list, backend="auto"):
+    return jax.vmap(
+        lambda t: _ts_one(p, rife_params, t, I0, I1, reuse, scale_list, backend)
+    )(ts)
 
 
 class GMFSS_UNION:
@@ -115,6 +123,7 @@ class GMFSS_UNION:
         out = _ts_batch(
             self.params, self.rife_params, I0, I1,
             jnp.asarray(ts, jnp.float32), reuse, self.scale_list,
+            backend=self.config.splat_backend,
         )
         return [out[i] for i in range(len(ts))]
 
@@ -127,7 +136,7 @@ class GMFSS_UNION:
             out = _drba_window(
                 self.params, self.rife_params, I0, I1, I2,
                 jnp.asarray(ts, jnp.float32), reuse10, reuse12,
-                self.scale_list, linear,
+                self.scale_list, linear, self.config.splat_backend,
             )
             frames = [out[i] for i in range(len(ts))]
 

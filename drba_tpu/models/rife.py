@@ -8,9 +8,11 @@ Uniform model API (shared by GMFSS / GMFSS_UNION):
 TPU-first redesign vs the reference:
   * the reference loops over timesteps in python, one kernel chain per t
     (models/rife.py:88-106). Here the whole window is ONE jitted XLA program:
-    timesteps are padded to a static bucket and the per-t computation
-    (DRM maps + IFNet) is ``vmap``-ed over the t axis, so the T per-frame
-    IFNets run as a single batched network evaluation on the MXU;
+    the per-t computation (DRM maps + IFNet) is ``vmap``-ed over the t axis,
+    so the T per-frame IFNets run as a single batched network evaluation on
+    the MXU. fps-mode windows produce at most two distinct ts counts
+    (floor/ceil of the fps ratio — see utils/tmapper.py), so at most two
+    programs compile per resolution; no bucket padding is needed;
   * exact-integer timesteps (t = 0/1/2 emit source frames,
     models/rife.py:89-95) become masked selects inside the same program;
   * flow inversion (``calc_flow``, models/rife.py:41-75): bidirectional
@@ -33,7 +35,8 @@ from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply, ifnet_block, ifnet_en
 from drba_tpu.ops import softsplat
 
 
-def _calc_flow(params, a, b, scale0: float, f0=None, f1=None):
+def _calc_flow(params, a, b, scale0: float, f0=None, f1=None,
+               splat_backend: str = "auto"):
     """Bidirectional full-step flow between a and b (models/rife.py:41-75)."""
     timestep = jnp.full_like(a[..., :1], 0.5)
     f0 = ifnet_encode(params, a[..., :3]) if f0 is None else f0
@@ -44,8 +47,10 @@ def _calc_flow(params, a, b, scale0: float, f0=None, f1=None):
     flow50 = flow[..., 0:2]  # flow from t=0.5 toward a
     flow51 = flow[..., 2:4]  # flow from t=0.5 toward b
 
-    w05, mask05 = softsplat(flow50, flow50, None, "avg", return_coverage=True)
-    w15, mask15 = softsplat(flow51, flow51, None, "avg", return_coverage=True)
+    w05, mask05 = softsplat(flow50, flow50, None, "avg",
+                            backend=splat_backend, return_coverage=True)
+    w15, mask15 = softsplat(flow51, flow51, None, "avg",
+                            backend=splat_backend, return_coverage=True)
     flow05 = -w05
     flow15 = -w15
 
@@ -58,10 +63,10 @@ def _calc_flow(params, a, b, scale0: float, f0=None, f1=None):
 
 
 def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
-                  scale_list, linear):
+                  scale_list, linear, splat_backend):
     """Synthesize the frame at window-time ``t`` in [0, 2] (one vmap lane)."""
     tt = jnp.where(t < 1, 1 - t, t - 1)
-    drm = calc_drm_rife(tt, flow10, flow12, linear=linear)
+    drm = calc_drm_rife(tt, flow10, flow12, linear=linear, backend=splat_backend)
 
     left = t < 1
     imgB = jnp.where(left, I0, I2)
@@ -77,10 +82,10 @@ def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale_list", "linear")
+    jax.jit, static_argnames=("scale_list", "linear", "splat_backend")
 )
 def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
-                 scale_list, linear):
+                 scale_list, linear, splat_backend="auto"):
     """All timesteps of one 3-frame window as a single batched XLA program."""
     fn = functools.partial(
         _interp_one_t,
@@ -88,7 +93,7 @@ def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
         I0=I0, I1=I1, I2=I2,
         flow10=flow10, flow12=flow12,
         f0=f0, f1=f1, f2=f2,
-        scale_list=scale_list, linear=linear,
+        scale_list=scale_list, linear=linear, splat_backend=splat_backend,
     )
     return jax.vmap(lambda t: fn(t))(ts)  # (T, N, H, W, 3)
 
@@ -104,7 +109,7 @@ def _ts_batch(params, I0, I1, ts, scale_list):
     return jax.vmap(lambda t: _ts_one(params, t, I0, I1, scale_list))(ts)
 
 
-_flow_jit = jax.jit(_calc_flow, static_argnames=("scale0",))
+_flow_jit = jax.jit(_calc_flow, static_argnames=("scale0", "splat_backend"))
 
 
 class RIFE:
@@ -120,7 +125,8 @@ class RIFE:
 
     # -- internal ----------------------------------------------------------
     def _calc_flow(self, a, b, f0=None, f1=None):
-        return _flow_jit(self.params, a, b, scale0=self.scale_list[0], f0=f0, f1=f1)
+        return _flow_jit(self.params, a, b, scale0=self.scale_list[0], f0=f0, f1=f1,
+                         splat_backend=self.config.splat_backend)
 
     # -- public API --------------------------------------------------------
     def inference_ts(self, I0, I1, ts: Sequence[float]):
@@ -150,7 +156,7 @@ class RIFE:
             tsv = jnp.asarray(ts, jnp.float32)
             out = _drba_window(
                 self.params, I0, I1, I2, tsv, flow10, flow12, f0, f1, f2,
-                self.scale_list, linear,
+                self.scale_list, linear, self.config.splat_backend,
             )
             frames = [out[i] for i in range(len(ts))]
 

@@ -201,11 +201,16 @@ _BACKENDS = {
 
 
 def _resolve_backend(backend: str) -> str:
-    if backend != "auto":
-        return backend
-    import jax as _jax
+    if backend == "auto":
+        import jax as _jax
 
-    return "stencil" if _jax.default_backend() not in ("cpu",) else "scatter"
+        return "stencil" if _jax.default_backend() not in ("cpu",) else "scatter"
+    if backend not in _BACKENDS:
+        raise ValueError(
+            f"unknown splat backend {backend!r}; valid: auto, "
+            + ", ".join(sorted(_BACKENDS))
+        )
+    return backend
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "backend", "return_coverage"))

@@ -58,23 +58,33 @@ def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: s
     # then interleave the 2x2 neighborhood into channels with dense shifts so
     # ONE flat-row gather fetches the whole bilinear patch (a (2,2,C) gather
     # output hits XLA tile padding and explodes memory at full-res).
-    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    #
+    # The gather operand width is padded to a 128 multiple: flattening
+    # (h+1, w+1, 4C) -> ((h+1)*(w+1), 4C) with an unaligned w+1 forces XLA to
+    # physically retile the whole patch image (~20 ms at 1080p); with an
+    # aligned width the reshape is free.
+    wq = ((w + 1 + 127) // 128) * 128
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1 + wq - w), (0, 0)), mode="edge")
     imgq = jnp.concatenate(
         [
-            imgp[:, 0 : h + 1, 0 : w + 1, :],
-            imgp[:, 0 : h + 1, 1 : w + 2, :],
-            imgp[:, 1 : h + 2, 0 : w + 1, :],
-            imgp[:, 1 : h + 2, 1 : w + 2, :],
+            imgp[:, 0 : h + 1, 0:wq, :],
+            imgp[:, 0 : h + 1, 1 : wq + 1, :],
+            imgp[:, 1 : h + 2, 0:wq, :],
+            imgp[:, 1 : h + 2, 1 : wq + 1, :],
         ],
         axis=-1,
-    )  # (N, h+1, w+1, 4C): channel block q holds corner (q//2, q%2)
+    )  # (N, h+1, wq, 4C): channel block q holds corner (q//2, q%2)
     sy = jnp.clip(y0i, -1, h - 1) + 1  # patch start in padded coords
     sx = jnp.clip(x0i, -1, w - 1) + 1
 
-    flat = imgq.reshape(n, (h + 1) * (w + 1), 4 * c)
-    idx = (sy * (w + 1) + sx).reshape(n, -1)
+    flat = imgq.reshape(n, (h + 1) * wq, 4 * c)
+    idx = (sy * wq + sx).reshape(n, -1)
     patch = jnp.take_along_axis(flat, idx[..., None], axis=1)
-    patch = patch.reshape(n, *px.shape[1:], 2, 2, c).astype(compute)
+    # keep corners as STATIC channel-block slices — reshaping to a trailing
+    # (2, 2, c) materializes with TPU tile padding (2 -> 8 sublanes,
+    # c -> 128 lanes), a ~16x memory blowup measured at ~35 ms extra per
+    # full-res warp.
+    patch = patch.reshape(n, *px.shape[1:], 4 * c).astype(compute)
 
     out = None
     for dy in (0, 1):
@@ -87,7 +97,8 @@ def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: s
                 wgt = jnp.where(valid, wgt, 0.0)
             else:  # border: clamped corners collapse onto the edge texel
                 pass
-            v = patch[..., dy, dx, :] * wgt[..., None]
+            q = dy * 2 + dx  # imgq concat order: (0,0),(0,1),(1,0),(1,1)
+            v = patch[..., q * c : (q + 1) * c] * wgt[..., None]
             out = v if out is None else out + v
     return out.astype(img.dtype)
 

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 from drba_tpu.models.rife import _calc_flow, _interp_one_t
 
 
-@functools.partial(jax.jit, static_argnames=("scale_list", "linear"))
-def rife_windows_batched(params, I0, I1, I2, ts, scale_list, linear=True):
+@functools.partial(jax.jit, static_argnames=("scale_list", "linear", "splat_backend"))
+def rife_windows_batched(params, I0, I1, I2, ts, scale_list, linear=True,
+                         splat_backend="auto"):
     """Interpolate a batch of windows: I* are (B, 1, H, W, 3), ts (B, T).
 
     Returns (B, T, 1, H, W, 3). Shard the leading axis over the mesh's
@@ -29,15 +30,17 @@ def rife_windows_batched(params, I0, I1, I2, ts, scale_list, linear=True):
     """
 
     def one_window(i0, i1, i2, tvec):
-        flow10, _, f1, f0 = _calc_flow(params, i1, i0, scale_list[0])
-        flow12, _, _, f2 = _calc_flow(params, i1, i2, scale_list[0], f0=f1)
+        flow10, _, f1, f0 = _calc_flow(params, i1, i0, scale_list[0],
+                                       splat_backend=splat_backend)
+        flow12, _, _, f2 = _calc_flow(params, i1, i2, scale_list[0], f0=f1,
+                                      splat_backend=splat_backend)
         fn = functools.partial(
             _interp_one_t,
             params,
             I0=i0, I1=i1, I2=i2,
             flow10=flow10, flow12=flow12,
             f0=f0, f1=f1, f2=f2,
-            scale_list=scale_list, linear=linear,
+            scale_list=scale_list, linear=linear, splat_backend=splat_backend,
         )
         return jax.vmap(lambda t: fn(t))(tvec)
 
