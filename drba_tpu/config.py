@@ -28,6 +28,11 @@ class Config:
         ops/softsplat.py) and the bit-exact 'scatter' spec on CPU. Threaded
         as a static argument through every jitted model program, so two
         models with different backends coexist safely in one process.
+      warp_backend: backward-warp implementation: 'auto' | 'gather' | 'mxu'.
+        'auto' picks the Pallas residual-window MXU kernel
+        (ops/warp_mxu.py) on TPU for shapes it supports and the XLA
+        patch-gather otherwise. 'mxu' forces the kernel (tests); 'gather'
+        forces the exact XLA path.
       scdet_threshold: SSIM threshold for scene-change detection
         (infer.py:30-31).
 
@@ -41,6 +46,7 @@ class Config:
     compute_dtype: jnp.dtype = jnp.bfloat16
     flow_scale: float = 1.0
     splat_backend: str = "auto"
+    warp_backend: str = "auto"
     scdet_threshold: float = 0.3
     seed: int = 0
 

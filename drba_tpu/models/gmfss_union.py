@@ -56,7 +56,10 @@ def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
     I1s = scale_by(I1, 0.5)
     IBs = scale_by(imgB, 0.5)
     ts_map = resize_bilinear(drm_rife, (I1s.shape[1], I1s.shape[2]))
-    rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype), scale_list)
+    # vmapped over t: force the gather warp (the MXU warp kernel is not
+    # vmap-safe; see ifnet._use_mxu_warp)
+    rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype),
+                          scale_list, warp_backend="gather")
 
     out = gmfss_union_inference(
         p, I1, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype), rife,
@@ -80,7 +83,8 @@ def _ts_one(p, rife_params, t, I0, I1, reuse, scale_list, backend):
     I0s = scale_by(I0, 0.5)
     I1s = scale_by(I1, 0.5)
     tmap = jnp.full_like(I0s[..., :1], 0.0) + t
-    rife, _ = ifnet_apply(rife_params, I0s, I1s, tmap.astype(I0s.dtype), scale_list)
+    rife, _ = ifnet_apply(rife_params, I0s, I1s, tmap.astype(I0s.dtype),
+                          scale_list, warp_backend="gather")
     out = gmfss_union_inference(p, I0, I1, reuse, t, 1 - t, rife,
                                 enable_mask=False, backend=backend)
     return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from drba_tpu.models.layers import Params, conv2d, conv_transpose2d, leaky_relu
 from drba_tpu.ops import backwarp, pixel_shuffle
 from drba_tpu.ops.warp import _sample_pixels
+from drba_tpu.ops.warp_mxu import backwarp_mxu
 from drba_tpu.ops.resize import resize_bilinear
 
 BLOCK_CHANNELS = (192, 128, 96, 64, 32)
@@ -104,6 +105,39 @@ def _warp_then_downsample(img: jax.Array, flow: jax.Array, k: int) -> jax.Array:
     return warped_taps
 
 
+def _use_mxu_warp(warp_backend: str, h: int, w: int, wh: int = 32, ww: int = 384) -> bool:
+    """Whether the Pallas residual-window warp kernel applies.
+
+    NOTE: the MXU kernel reads ``pl.program_id`` for its scalar-prefetch
+    indexing, so it must never be traced under ``vmap`` — callers batch
+    explicitly (see rife._drba_window).
+    """
+    shapes_ok = h % 8 == 0 and w % 128 == 0 and w >= ww and h >= wh
+    if warp_backend == "mxu":
+        return shapes_ok
+    if warp_backend == "auto":
+        import jax as _jax
+
+        return shapes_ok and _jax.default_backend() != "cpu"
+    return False
+
+
+def _backwarp2(a, b, flow4, use_mxu: bool):
+    """Warp ``a`` by flow4[..., 0:2] and ``b`` by flow4[..., 2:4].
+
+    Both directions run as ONE batched kernel call / gather program — the
+    per-call cost (dispatch, window DMA setup) amortizes across directions.
+    """
+    if use_mxu:
+        n = a.shape[0]
+        out = backwarp_mxu(
+            jnp.concatenate([a, b], axis=0),
+            jnp.concatenate([flow4[..., 0:2], flow4[..., 2:4]], axis=0),
+        )
+        return out[:n], out[n:]
+    return backwarp(a, flow4[..., 0:2]), backwarp(b, flow4[..., 2:4])
+
+
 def ifnet_block(
     p: Params, idx: int, x: jax.Array, flow: jax.Array | None, scale: float,
     x_at_scale: bool = False, out_size: tuple[int, int] | None = None,
@@ -148,11 +182,13 @@ def ifnet_apply(
     scale_list: tuple[float, ...],
     f0: jax.Array | None = None,
     f1: jax.Array | None = None,
+    warp_backend: str = "auto",
 ):
     """Full 5-stage inference (IFNet_HDv3.py:126-177).
 
     ``timestep`` is an (N,H,W,1) map — scalars are broadcast by the caller.
-    Returns (merged_frame, flow_list).
+    Returns (merged_frame, flow_list). ``N`` may carry a folded timestep
+    batch (rife stacks the whole window's frames into it).
     """
     if f0 is None:
         f0 = ifnet_encode(p, img0[..., :3])
@@ -160,16 +196,20 @@ def ifnet_apply(
         f1 = ifnet_encode(p, img1[..., :3])
 
     h, w = img0.shape[1], img0.shape[2]
+    use_mxu = _use_mxu_warp(warp_backend, h, w)
     flow = None
     mask = None
     feat = None
     flow_list = []
     # TPU notes (gather cost is per-index):
-    #  * each stage warps cat(img, feat) with ONE bilinear-patch gather per
-    #    direction instead of separate img/feature warps (IFNet_HDv3.py:151-164);
-    #  * stages working at integer pyramid scale k fuse the warp with the
-    #    block-input downsample (_warp_then_downsample): gather indices drop
-    #    by k^2/4 with identical values.
+    #  * each stage warps cat(img, feat) for BOTH directions in one batched
+    #    program instead of separate img/feature warps (IFNet_HDv3.py:151-164);
+    #  * full-res warps use the Pallas residual-window MXU kernel
+    #    (ops/warp_mxu.py) when available — the scale-2 stage warps at full
+    #    res and downsamples (bit-identical to sampling at the tap grid);
+    #  * gather-path stages at integer pyramid scale k >= 4 fuse the warp
+    #    with the block-input downsample (_warp_then_downsample): gather
+    #    indices drop by k^2/4 with identical values.
     for i in range(5):
         if flow is None:
             x = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, timestep], axis=-1)
@@ -177,7 +217,7 @@ def ifnet_apply(
         else:
             sc = scale_list[i]
             ki = int(sc) if float(sc).is_integer() and sc >= 2 and h % int(sc) == 0 and w % int(sc) == 0 else None
-            if ki is not None:
+            if ki is not None and (ki >= 4 or not use_mxu):
                 w0 = _warp_then_downsample(
                     jnp.concatenate([img0[..., :3], f0], axis=-1), flow[..., 0:2], ki
                 )
@@ -193,9 +233,29 @@ def ifnet_apply(
                 fd, mask, feat = ifnet_block(
                     p, i, x, flow, sc, x_at_scale=True, out_size=(h, w)
                 )
+            elif ki == 2:  # MXU warp at full res + exact 2x downsample
+                wf0, wf1 = _backwarp2(
+                    jnp.concatenate([img0[..., :3], f0], axis=-1),
+                    jnp.concatenate([img1[..., :3], f1], axis=-1),
+                    flow, use_mxu,
+                )
+                w0 = resize_bilinear(wf0, (h // 2, w // 2))
+                w1 = resize_bilinear(wf1, (h // 2, w // 2))
+                rest = resize_bilinear(
+                    jnp.concatenate([timestep, mask, feat], axis=-1), (h // 2, w // 2)
+                )
+                x = jnp.concatenate(
+                    [w0[..., :3], w1[..., :3], w0[..., 3:], w1[..., 3:], rest], axis=-1
+                )
+                fd, mask, feat = ifnet_block(
+                    p, i, x, flow, sc, x_at_scale=True, out_size=(h, w)
+                )
             else:
-                wf0 = backwarp(jnp.concatenate([img0[..., :3], f0], axis=-1), flow[..., 0:2])
-                wf1 = backwarp(jnp.concatenate([img1[..., :3], f1], axis=-1), flow[..., 2:4])
+                wf0, wf1 = _backwarp2(
+                    jnp.concatenate([img0[..., :3], f0], axis=-1),
+                    jnp.concatenate([img1[..., :3], f1], axis=-1),
+                    flow, use_mxu,
+                )
                 x = jnp.concatenate(
                     [wf0[..., :3], wf1[..., :3], wf0[..., 3:], wf1[..., 3:], timestep, mask, feat],
                     axis=-1,
@@ -204,8 +264,7 @@ def ifnet_apply(
             flow = flow + fd
         flow_list.append(flow)
 
-    warped_img0 = backwarp(img0, flow[..., 0:2])
-    warped_img1 = backwarp(img1, flow[..., 2:4])
+    warped_img0, warped_img1 = _backwarp2(img0, img1, flow, use_mxu)
     m = jax.nn.sigmoid(mask.astype(jnp.float32)).astype(img0.dtype)
     merged = warped_img0 * m + warped_img1 * (1 - m)
     return merged, flow_list

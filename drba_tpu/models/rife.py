@@ -62,9 +62,9 @@ def _calc_flow(params, a, b, scale0: float, f0=None, f1=None,
     return flow05 * 2, flow15 * 2, f0, f1  # flow_ab, flow_ba, feats
 
 
-def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
-                  scale_list, linear, splat_backend):
-    """Synthesize the frame at window-time ``t`` in [0, 2] (one vmap lane)."""
+def _window_inputs_one_t(t, I0, I1, I2, flow10, flow12, f0, f1, f2,
+                         linear, splat_backend):
+    """DRM map + side-frame selection for window-time ``t`` (one vmap lane)."""
     tt = jnp.where(t < 1, 1 - t, t - 1)
     drm = calc_drm_rife(tt, flow10, flow12, linear=linear, backend=splat_backend)
 
@@ -72,9 +72,22 @@ def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
     imgB = jnp.where(left, I0, I2)
     fB = jnp.where(left, f0, f2)
     drm_map = jnp.where(left, drm.drm_t1_t01, drm.drm_t1_t12)
+    return imgB, fB, drm_map
 
+
+def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
+                  scale_list, linear, splat_backend, warp_backend="gather"):
+    """Single-timestep synthesis (vmap-safe: forces the gather warp).
+
+    Used by the multi-device window plan, which vmaps over timesteps; the
+    serial path runs the folded-batch `_drba_window` below instead.
+    """
+    imgB, fB, drm_map = _window_inputs_one_t(
+        t, I0, I1, I2, flow10, flow12, f0, f1, f2, linear, splat_backend
+    )
     out, _ = ifnet_apply(
-        params, I1, imgB, drm_map.astype(I1.dtype), scale_list, f0=f1, f1=fB
+        params, I1, imgB, drm_map.astype(I1.dtype), scale_list, f0=f1, f1=fB,
+        warp_backend=warp_backend,
     )
     # integer timesteps pass sources through (models/rife.py:89-95)
     out = jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
@@ -82,31 +95,68 @@ def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale_list", "linear", "splat_backend")
+    jax.jit, static_argnames=("scale_list", "linear", "splat_backend", "warp_backend")
 )
 def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
-                 scale_list, linear, splat_backend="auto"):
-    """All timesteps of one 3-frame window as a single batched XLA program."""
-    fn = functools.partial(
-        _interp_one_t,
-        params,
-        I0=I0, I1=I1, I2=I2,
-        flow10=flow10, flow12=flow12,
-        f0=f0, f1=f1, f2=f2,
-        scale_list=scale_list, linear=linear, splat_backend=splat_backend,
+                 scale_list, linear, splat_backend="auto", warp_backend="auto"):
+    """All timesteps of one 3-frame window as a single batched XLA program.
+
+    The per-t DRM maps are vmapped; the T IFNet evaluations then run as ONE
+    call with T folded into the batch axis — explicit batching (rather than
+    vmap) both feeds the MXU bigger convolutions and keeps the Pallas warp
+    kernel out of vmap (it indexes its scalar-prefetch table with
+    ``pl.program_id``, which vmap's grid-prepending batching rule would
+    silently shift).
+    """
+    T = ts.shape[0]
+    n, h, w, _ = I1.shape
+
+    imgB, fB, drm_map = jax.vmap(
+        lambda t: _window_inputs_one_t(
+            t, I0, I1, I2, flow10, flow12, f0, f1, f2, linear, splat_backend
+        )
+    )(ts)  # (T, N, H, W, *)
+
+    def fold(x):
+        return x.reshape((T * n,) + x.shape[2:])
+
+    def tile(x):
+        return fold(jnp.broadcast_to(x[None], (T,) + x.shape))
+
+    out, _ = ifnet_apply(
+        params, tile(I1), fold(imgB), fold(drm_map).astype(I1.dtype),
+        scale_list, f0=tile(f1), f1=fold(fB), warp_backend=warp_backend,
     )
-    return jax.vmap(lambda t: fn(t))(ts)  # (T, N, H, W, 3)
+    out = out.reshape((T, n, h, w, 3))
+
+    # integer timesteps pass sources through (models/rife.py:89-95)
+    tb = ts[:, None, None, None, None]
+    out = jnp.where(tb == 0, I0[None], jnp.where(tb == 1, I1[None],
+                    jnp.where(tb == 2, I2[None], out)))
+    return out  # (T, N, H, W, 3)
 
 
-def _ts_one(params, t, I0, I1, scale_list):
-    tmap = jnp.full_like(I0[..., :1], 0.0) + t
-    out, _ = ifnet_apply(params, I0, I1, tmap.astype(I0.dtype), scale_list)
-    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
+@functools.partial(jax.jit, static_argnames=("scale_list", "warp_backend"))
+def _ts_batch(params, I0, I1, ts, scale_list, warp_backend="auto"):
+    """Plain interpolation at T timesteps, T folded into the batch axis."""
+    T = ts.shape[0]
+    n, h, w, _ = I0.shape
 
+    def tile(x):
+        return jnp.broadcast_to(x[None], (T,) + x.shape).reshape(
+            (T * n,) + x.shape[1:]
+        )
 
-@functools.partial(jax.jit, static_argnames=("scale_list",))
-def _ts_batch(params, I0, I1, ts, scale_list):
-    return jax.vmap(lambda t: _ts_one(params, t, I0, I1, scale_list))(ts)
+    tmap = jnp.broadcast_to(
+        ts[:, None, None, None, None], (T, n, h, w, 1)
+    ).reshape(T * n, h, w, 1)
+    out, _ = ifnet_apply(
+        params, tile(I0), tile(I1), tmap.astype(I0.dtype), scale_list,
+        warp_backend=warp_backend,
+    )
+    out = out.reshape((T, n, h, w, 3))
+    tb = ts[:, None, None, None, None]
+    return jnp.where(tb == 0, I0[None], jnp.where(tb == 1, I1[None], out))
 
 
 _flow_jit = jax.jit(_calc_flow, static_argnames=("scale0", "splat_backend"))
@@ -134,7 +184,8 @@ class RIFE:
         if len(ts) == 0:
             return []
         tsv = jnp.asarray(ts, jnp.float32)
-        out = _ts_batch(self.params, I0, I1, tsv, self.scale_list)
+        out = _ts_batch(self.params, I0, I1, tsv, self.scale_list,
+                        warp_backend=self.config.warp_backend)
         return [out[i] for i in range(len(ts))]
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
@@ -157,6 +208,7 @@ class RIFE:
             out = _drba_window(
                 self.params, I0, I1, I2, tsv, flow10, flow12, f0, f1, f2,
                 self.scale_list, linear, self.config.splat_backend,
+                self.config.warp_backend,
             )
             frames = [out[i] for i in range(len(ts))]
 

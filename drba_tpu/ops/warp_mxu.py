@@ -1,0 +1,173 @@
+"""Residual-window backward warp as per-tile one-hot matmuls (Pallas, TPU).
+
+Replaces the XLA-gather backward warp (ops/warp.py) on the hot path. XLA's
+gather costs ~12 ns per index on this TPU stack regardless of row width, so a
+full-res 1080p warp is ~25 ms of pure per-index latency. This kernel instead
+exploits that optical flow is spatially coherent: for each (8, 128) output
+tile, all source coordinates fall inside one modest window of the input.
+
+Per tile:
+  1. one async DMA fetches the window ``(C, WH, WW)`` from HBM at a per-tile
+     offset (mid-range of the tile's integer source coords, delivered via
+     scalar prefetch);
+  2. the horizontal bilinear sample becomes a matmul with a 2-sparse one-hot
+     matrix ``B (WW, 128)`` built on the VPU per output row:
+     ``H = (window as (C*WH, WW)) @ B`` — the MXU does in ~2 us what the
+     gather pipeline serializes per index;
+  3. the vertical bilinear sample is a 2-sparse masked reduction over the WH
+     window rows on the VPU.
+
+Semantics match ops.warp.backwarp with ``padding_mode='border'``
+(reference: models/rife_426_heavy/warplayer.py:8-22) EXACTLY for every pixel
+whose integer source coords fit its tile's window: horizontally
+|x0 - tile mid-range| <= (WW-130)/2 (63 px at the default WW=256) and
+vertically within ~(WH-10)/2 rows (11 at WH=32). Pixels beyond that (extreme
+flow divergence inside one tile) clamp to the window edge — a localized,
+bounded deviation quantified in tests/test_warp_mxu.py. Use
+``coverage_fraction`` to measure it for a given flow field.
+
+Layout notes (Mosaic): the window is stored (C, WH, WW) so the (C*WH, WW)
+matmul view is a free reshape (WH is a sublane-tile multiple for both f32 and
+bf16); per-tile flow planes arrive as (8, 128) VMEM blocks; output is written
+per-row into a (1, C, 8, 128) block of the (B, C, H, W) result, which the
+wrapper transposes back to NHWC.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH, TW = 8, 128  # output tile
+
+
+def _kernel(ys_ref, xs_ref, x0_ref, wx_ref, y0_ref, wy_ref, img_ref, out_ref,
+            win, sem, *, nty, ntx, wh, ww, c):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    t = (b * nty + i) * ntx + j
+
+    ys = pl.multiple_of(ys_ref[t], 8)
+    xs = pl.multiple_of(xs_ref[t], 128)
+    dma = pltpu.make_async_copy(
+        img_ref.at[b, :, pl.ds(ys, wh), pl.ds(xs, ww)], win, sem
+    )
+    dma.start()
+    dma.wait()
+
+    m = win[...].reshape(c * wh, ww)  # free: wh is a sublane-tile multiple
+
+    # Mosaic iota is integer-only; compares run in f32 (no bf16 compares on
+    # v5e), so convert once.
+    xx = jax.lax.broadcasted_iota(jnp.int32, (ww, TW), 0).astype(jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (wh, TW), 0).astype(jnp.float32)
+    for y in range(TH):
+        x0y = x0_ref[0, y, :][None, :]  # (1, TW) f32: window-relative x0
+        wxy = wx_ref[0, y, :][None, :]
+        bmat = (
+            jnp.where(xx == x0y, 1.0 - wxy, 0.0)
+            + jnp.where(xx == x0y + 1.0, wxy, 0.0)
+        ).astype(m.dtype)
+        h = jnp.dot(m, bmat, preferred_element_type=jnp.float32)  # (c*wh, TW)
+        h3 = h.reshape(c, wh, TW)
+
+        y0y = y0_ref[0, y, :][None, :]
+        wyy = wy_ref[0, y, :][None, :]
+        a = jnp.where(rr == y0y, 1.0 - wyy, 0.0) + jnp.where(
+            rr == y0y + 1.0, wyy, 0.0
+        )
+        out_ref[0, :, y, :] = jnp.sum(h3 * a[None], axis=1).astype(out_ref.dtype)
+
+
+def _prep(flow, h, w, wh, ww):
+    """Clamped integer corners, fractional weights, per-tile window starts."""
+    nty, ntx = h // TH, w // TW
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    # border padding == clamping the sample position (see ops/warp.py)
+    px = jnp.clip(gx + flow[..., 0].astype(jnp.float32), 0.0, w - 1)
+    py = jnp.clip(gy + flow[..., 1].astype(jnp.float32), 0.0, h - 1)
+    x0 = jnp.minimum(jnp.floor(px), w - 2).astype(jnp.int32)
+    y0 = jnp.minimum(jnp.floor(py), h - 2).astype(jnp.int32)
+    wx = px - x0.astype(jnp.float32)
+    wy = py - y0.astype(jnp.float32)
+
+    bsz = flow.shape[0]
+    # Mosaic requires provably aligned dynamic slice starts: quantize window
+    # starts to 8 rows / 128 lanes (the clamp keeps them in range, and the
+    # flooring is absorbed by the window margins).
+    xt = x0.reshape(bsz, nty, TH, ntx, TW)
+    xmin = xt.min(axis=(2, 4))
+    xmax = xt.max(axis=(2, 4))
+    xs = jnp.clip((xmin + xmax) // 2 - ww // 2, 0, w - ww) // 128 * 128
+    yt = y0.reshape(bsz, nty, TH, ntx, TW)
+    ymin = yt.min(axis=(2, 4))
+    ymax = yt.max(axis=(2, 4))
+    ys = jnp.clip((ymin + ymax) // 2 - (wh - 2) // 2, 0, h - wh) // 8 * 8
+
+    xs_b = jnp.repeat(jnp.repeat(xs, TH, axis=1), TW, axis=2)
+    ys_b = jnp.repeat(jnp.repeat(ys, TH, axis=1), TW, axis=2)
+    x0r = jnp.clip(x0 - xs_b, 0, ww - 2).astype(jnp.float32)
+    y0r = jnp.clip(y0 - ys_b, 0, wh - 2).astype(jnp.float32)
+    covered = (x0 - xs_b == x0r.astype(jnp.int32)) & (
+        y0 - ys_b == y0r.astype(jnp.int32)
+    )
+    return x0r, wx, y0r, wy, ys.reshape(-1), xs.reshape(-1), covered
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
+    """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
+
+    Requires H % 8 == 0, W % 128 == 0 and W >= ww (the caller falls back to
+    ops.warp.backwarp otherwise). ``wh`` must be a multiple of 16 so the
+    in-kernel (C*WH, WW) view stays layout-free in bf16; ``ww`` a multiple
+    of 128.
+    """
+    bsz, h, w, c = img.shape
+    assert h % TH == 0 and w % TW == 0 and w >= ww and h >= wh, (h, w)
+    assert wh % 16 == 0 and ww % 128 == 0, (wh, ww)
+    nty, ntx = h // TH, w // TW
+
+    x0r, wx, y0r, wy, ys, xs, _ = _prep(flow, h, w, wh, ww)
+    img_chw = jnp.transpose(img, (0, 3, 1, 2))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, nty, ntx),
+        in_specs=[
+            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
+            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
+            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
+            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, TH, TW), lambda b, i, j, ys, xs: (b, 0, i, j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, wh, ww), img.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_chw = pl.pallas_call(
+        functools.partial(_kernel, nty=nty, ntx=ntx, wh=wh, ww=ww, c=c),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), img.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(ys, xs, x0r, wx, y0r, wy, img_chw)
+    return jnp.transpose(out_chw, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def coverage_fraction(flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
+    """Fraction of pixels whose source coords fit their tile's window (the
+    set on which backwarp_mxu is exact vs the gather reference)."""
+    _, h, w, _ = flow.shape
+    *_, covered = _prep(flow, h, w, wh, ww)
+    return covered.mean(dtype=jnp.float32)

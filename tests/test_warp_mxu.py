@@ -1,0 +1,121 @@
+"""MXU residual-window backward warp: parity vs the gather reference.
+
+The kernel runs in Pallas interpret mode on the CPU test platform; numerics
+are identical to ops.warp.backwarp (border padding) wherever each tile's
+source coordinates fit its window (coverage_fraction == 1).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from drba_tpu.ops.warp import backwarp
+from drba_tpu.ops.warp_mxu import backwarp_mxu, coverage_fraction
+
+
+def _smooth_flow(rng, b, h, w, mag, cell=32):
+    """Bilinear-upsampled blockwise flow — the shape of real IFNet flows."""
+    import cv2
+
+    coarse = rng.uniform(-mag, mag, (b, max(h // cell, 1), max(w // cell, 1), 2))
+    out = np.stack(
+        [cv2.resize(c.astype(np.float32), (w, h), interpolation=cv2.INTER_LINEAR)
+         for c in coarse]
+    )
+    return jnp.asarray(out)
+
+
+def test_exact_on_covered_flows():
+    rng = np.random.default_rng(0)
+    b, h, w, c = 2, 32, 384, 5
+    img = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)).astype(np.float32))
+    for mag in (0.0, 3.7, 20.0):
+        flow = _smooth_flow(rng, b, h, w, mag)
+        assert float(coverage_fraction(flow)) == 1.0
+        out = backwarp_mxu(img, flow)
+        ref = backwarp(img, flow)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
+        )
+
+
+def test_large_uniform_motion_exact():
+    """Large constant displacement (a hard pan) stays exact — the coarse
+    window offset absorbs it."""
+    rng = np.random.default_rng(1)
+    b, h, w, c = 1, 64, 512, 3
+    img = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)).astype(np.float32))
+    flow = jnp.asarray(
+        np.broadcast_to(np.asarray([123.4, -17.8], np.float32), (b, h, w, 2))
+    )
+    assert float(coverage_fraction(flow)) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(backwarp_mxu(img, flow)),
+        np.asarray(backwarp(img, flow)),
+        atol=1e-5,
+    )
+
+
+def test_uncovered_pixels_clamp_finite():
+    """Pathological divergent flow: uncovered pixels read window edges —
+    bounded values, and covered pixels stay exact."""
+    rng = np.random.default_rng(2)
+    b, h, w, c = 1, 64, 512, 3
+    img = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-400, 400, (b, h, w, 2)).astype(np.float32))
+    cov = float(coverage_fraction(flow))
+    assert cov < 1.0  # the point of this test
+    out = np.asarray(backwarp_mxu(img, flow))
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+
+
+def test_ifnet_mxu_vs_gather_parity():
+    """ifnet_apply(warp_backend='mxu') == 'gather' end to end (random
+    weights; IFNet's own flows are small, so every tile is covered)."""
+    from drba_tpu.convert import load_network
+    from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply
+
+    rng = np.random.default_rng(3)
+    p = load_network(None, "flownet.pkl", IFNET_SPEC, seed=0)
+    h, w = 64, 384
+    img0 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    img1 = jnp.asarray(np.roll(np.asarray(img0), 5, axis=2))
+    t = jnp.full((1, h, w, 1), 0.5, jnp.float32)
+    scales = (16.0, 8.0, 4.0, 2.0, 1.0)
+
+    out_g, _ = ifnet_apply(p, img0, img1, t, scales, warp_backend="gather")
+    out_m, _ = ifnet_apply(p, img0, img1, t, scales, warp_backend="mxu")
+    np.testing.assert_allclose(
+        np.asarray(out_m), np.asarray(out_g), atol=2e-5, rtol=0
+    )
+
+
+def test_drba_window_batched_matches_vmapped_reference():
+    """The folded-batch window program matches per-t synthesis (the
+    vmap-free restructure must not change outputs)."""
+    from drba_tpu.config import F32
+    from drba_tpu.models.rife import RIFE, _interp_one_t
+
+    rng = np.random.default_rng(4)
+    h, w = 64, 128
+    model = RIFE(weights=None, scale=1.0, config=F32)
+    I0 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    I1 = jnp.asarray(np.roll(np.asarray(I0), 3, axis=2))
+    I2 = jnp.asarray(np.roll(np.asarray(I0), 6, axis=2))
+    ts = [0.5, 1.0, 1.3]
+
+    out, _ = model.inference_ts_drba(I0, I1, I2, ts, None, linear=True)
+
+    flow10, _, f1, f0 = model._calc_flow(I1, I0)
+    flow12, _, _, f2 = model._calc_flow(I1, I2)
+    for i, t in enumerate(ts):
+        ref = _interp_one_t(
+            model.params, jnp.float32(t), I0, I1, I2, flow10, flow12,
+            f0, f1, f2, model.scale_list, True, "auto",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5, rtol=0
+        )
