@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from drba_tpu.models.layers import Params, conv2d, conv_transpose2d, leaky_relu
 from drba_tpu.ops import backwarp, pixel_shuffle
 from drba_tpu.ops.warp import _sample_pixels
-from drba_tpu.ops.warp_mxu import backwarp_mxu
+from drba_tpu.ops.warp_mxu import backwarp_mxu, sample_positions_mxu
 from drba_tpu.ops.resize import resize_bilinear
 
 BLOCK_CHANNELS = (192, 128, 96, 64, 32)
@@ -70,12 +70,19 @@ def ifnet_encode(p: Params, img: jax.Array) -> jax.Array:
     return x
 
 
-def _warp_then_downsample(img: jax.Array, flow: jax.Array, k: int) -> jax.Array:
-    """Exactly ``downsample_k(backwarp(img, flow))`` with 4x/k^2 fewer gather
-    indices: the 2-tap-per-axis bilinear downsample (see ops/resize.py) only
-    reads the warped image at a strided tap grid, so the warp is evaluated
-    there directly. Gather cost on this TPU is per-index — for k=8 this is a
-    16x cheaper program with bit-identical output."""
+# (wh, ww) sampling-window sizes for the MXU tap path: a 128-tap tile spans
+# 64*k source columns (taps come 2 per k-cell), so the window must cover that
+# span plus the 128-lane start quantization plus flow spread.
+_MXU_TAP_WIN = {4: (48, 512), 8: (64, 768)}
+
+
+def _warp_then_downsample(img: jax.Array, flow: jax.Array, k: int,
+                          use_mxu: bool = False) -> jax.Array:
+    """Exactly ``downsample_k(backwarp(img, flow))`` with 4x/k^2 fewer sample
+    positions: the 2-tap-per-axis bilinear downsample (see ops/resize.py)
+    only reads the warped image at a strided tap grid, so the warp is
+    evaluated there directly — bit-identical output. The taps are sampled by
+    the MXU window kernel when available, else the patch gather."""
     if k == 1:
         return backwarp(img, flow)
     n, h, w, _ = img.shape
@@ -96,7 +103,11 @@ def _warp_then_downsample(img: jax.Array, flow: jax.Array, k: int) -> jax.Array:
     flow_t = flow[:, iy][:, :, ix]  # strided: dense slices under the hood
     px = tx[None, None, :] + flow_t[..., 0].astype(jnp.float32)
     py = ty[None, :, None] + flow_t[..., 1].astype(jnp.float32)
-    warped_taps = _sample_pixels(img, px, py, "border")  # (N, len(ty), len(tx), C)
+    win = _MXU_TAP_WIN.get(k)
+    if use_mxu and win and w >= win[1] and h >= win[0] and len(ty) % 8 == 0:
+        warped_taps = sample_positions_mxu(img, px, py, wh=win[0], ww=win[1])
+    else:
+        warped_taps = _sample_pixels(img, px, py, "border")  # (N, nty, ntx, C)
     if k % 2 == 0:
         # 2x2 tap average = the separable 0.5/0.5 bilinear downsample
         nt_h, nt_w = warped_taps.shape[1] // 2, warped_taps.shape[2] // 2
@@ -219,10 +230,12 @@ def ifnet_apply(
             ki = int(sc) if float(sc).is_integer() and sc >= 2 and h % int(sc) == 0 and w % int(sc) == 0 else None
             if ki is not None and (ki >= 4 or not use_mxu):
                 w0 = _warp_then_downsample(
-                    jnp.concatenate([img0[..., :3], f0], axis=-1), flow[..., 0:2], ki
+                    jnp.concatenate([img0[..., :3], f0], axis=-1), flow[..., 0:2],
+                    ki, use_mxu,
                 )
                 w1 = _warp_then_downsample(
-                    jnp.concatenate([img1[..., :3], f1], axis=-1), flow[..., 2:4], ki
+                    jnp.concatenate([img1[..., :3], f1], axis=-1), flow[..., 2:4],
+                    ki, use_mxu,
                 )
                 rest = resize_bilinear(
                     jnp.concatenate([timestep, mask, feat], axis=-1), (h // ki, w // ki)

@@ -84,20 +84,24 @@ def _kernel(ys_ref, xs_ref, x0_ref, wx_ref, y0_ref, wy_ref, img_ref, out_ref,
         out_ref[0, :, y, :] = jnp.sum(h3 * a[None], axis=1).astype(out_ref.dtype)
 
 
-def _prep(flow, h, w, wh, ww):
-    """Clamped integer corners, fractional weights, per-tile window starts."""
-    nty, ntx = h // TH, w // TW
-    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+def _prep_positions(px, py, h, w, wh, ww):
+    """Clamped integer corners, fractional weights, per-tile window starts.
+
+    ``px, py`` are absolute sample positions (B, Ho, Wo) into an (h, w)
+    image; the output grid need not match the input resolution (the
+    tap-fused warp-then-downsample path samples a strided tap grid).
+    """
+    _, ho, wo = px.shape
+    nty, ntx = ho // TH, wo // TW
     # border padding == clamping the sample position (see ops/warp.py)
-    px = jnp.clip(gx + flow[..., 0].astype(jnp.float32), 0.0, w - 1)
-    py = jnp.clip(gy + flow[..., 1].astype(jnp.float32), 0.0, h - 1)
+    px = jnp.clip(px.astype(jnp.float32), 0.0, w - 1)
+    py = jnp.clip(py.astype(jnp.float32), 0.0, h - 1)
     x0 = jnp.minimum(jnp.floor(px), w - 2).astype(jnp.int32)
     y0 = jnp.minimum(jnp.floor(py), h - 2).astype(jnp.int32)
     wx = px - x0.astype(jnp.float32)
     wy = py - y0.astype(jnp.float32)
 
-    bsz = flow.shape[0]
+    bsz = px.shape[0]
     # Mosaic requires provably aligned dynamic slice starts: quantize window
     # starts to 8 rows / 128 lanes (the clamp keeps them in range, and the
     # flooring is absorbed by the window margins).
@@ -120,22 +124,16 @@ def _prep(flow, h, w, wh, ww):
     return x0r, wx, y0r, wy, ys.reshape(-1), xs.reshape(-1), covered
 
 
-@functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
-    """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
-
-    Requires H % 8 == 0, W % 128 == 0 and W >= ww (the caller falls back to
-    ops.warp.backwarp otherwise). ``wh`` must be a multiple of 16 so the
-    in-kernel (C*WH, WW) view stays layout-free in bf16; ``ww`` a multiple
-    of 128.
-    """
-    bsz, h, w, c = img.shape
-    assert h % TH == 0 and w % TW == 0 and w >= ww and h >= wh, (h, w)
+def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
+                wh: int, ww: int) -> jax.Array:
+    """Core: sample img_chw (B,C,H,W) at positions (B,Ho,Wo) -> (B,C,Ho,Wo)."""
+    bsz, c, h, w = img_chw.shape
+    _, ho, wo = px.shape
+    assert ho % TH == 0 and wo % TW == 0 and w >= ww and h >= wh, (ho, wo, h, w)
     assert wh % 16 == 0 and ww % 128 == 0, (wh, ww)
-    nty, ntx = h // TH, w // TW
+    nty, ntx = ho // TH, wo // TW
 
-    x0r, wx, y0r, wy, ys, xs, _ = _prep(flow, h, w, wh, ww)
-    img_chw = jnp.transpose(img, (0, 3, 1, 2))
+    x0r, wx, y0r, wy, ys, xs, _ = _prep_positions(px, py, h, w, wh, ww)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -151,17 +149,55 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -
             (1, c, TH, TW), lambda b, i, j, ys, xs: (b, 0, i, j)
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, wh, ww), img.dtype),
+            pltpu.VMEM((c, wh, ww), img_chw.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    out_chw = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, nty=nty, ntx=ntx, wh=wh, ww=ww, c=c),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, ho, wo), img_chw.dtype),
         interpret=jax.default_backend() == "cpu",
     )(ys, xs, x0r, wx, y0r, wy, img_chw)
-    return jnp.transpose(out_chw, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
+    """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
+
+    Requires H % 8 == 0, W % 128 == 0 and W >= ww (the caller falls back to
+    ops.warp.backwarp otherwise). ``wh`` must be a multiple of 16 so the
+    in-kernel (C*WH, WW) view stays layout-free in bf16; ``ww`` a multiple
+    of 128.
+    """
+    bsz, h, w, _ = img.shape
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    px = gx + flow[..., 0].astype(jnp.float32)
+    py = gy + flow[..., 1].astype(jnp.float32)
+    img_chw = jnp.transpose(img, (0, 3, 1, 2))
+    out = _sample_chw(img_chw, px, py, wh, ww)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def sample_positions_mxu(img: jax.Array, px: jax.Array, py: jax.Array,
+                         wh: int = 32, ww: int = 384) -> jax.Array:
+    """Bilinear-sample img (B,H,W,C) at absolute positions (B,Ho,Wo) with
+    border clamping -> (B,Ho,Wo,C). The output grid is arbitrary — the
+    tap-fused warp+downsample uses a strided tap grid (see ifnet.py). ``Wo``
+    is padded to a lane multiple internally (edge-replicated positions) and
+    sliced back.
+    """
+    bsz, h, w, c = img.shape
+    _, ho, wo = px.shape
+    wo_pad = (wo + TW - 1) // TW * TW
+    if wo_pad != wo:
+        px = jnp.pad(px, ((0, 0), (0, 0), (0, wo_pad - wo)), mode="edge")
+        py = jnp.pad(py, ((0, 0), (0, 0), (0, wo_pad - wo)), mode="edge")
+    img_chw = jnp.transpose(img, (0, 3, 1, 2))
+    out = _sample_chw(img_chw, px, py, wh, ww)
+    return jnp.transpose(out, (0, 2, 3, 1))[:, :, :wo, :]
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
@@ -169,5 +205,9 @@ def coverage_fraction(flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array
     """Fraction of pixels whose source coords fit their tile's window (the
     set on which backwarp_mxu is exact vs the gather reference)."""
     _, h, w, _ = flow.shape
-    *_, covered = _prep(flow, h, w, wh, ww)
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    px = gx + flow[..., 0].astype(jnp.float32)
+    py = gy + flow[..., 1].astype(jnp.float32)
+    *_, covered = _prep_positions(px, py, h, w, wh, ww)
     return covered.mean(dtype=jnp.float32)

@@ -119,3 +119,19 @@ def test_drba_window_batched_matches_vmapped_reference():
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(ref), atol=1e-5, rtol=0
         )
+
+
+def test_tap_downsample_mxu_parity():
+    """MXU tap-grid sampling == gather tap path for k=4 and k=8."""
+    from drba_tpu.models.ifnet import _warp_then_downsample
+
+    rng = np.random.default_rng(5)
+    h, w, c = 64, 768, 4
+    img = jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32))
+    flow = _smooth_flow(rng, 1, h, w, 6.0)
+    for k in (4, 8):
+        ref = _warp_then_downsample(img, flow, k, use_mxu=False)
+        out = _warp_then_downsample(img, flow, k, use_mxu=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
+        )
