@@ -128,9 +128,11 @@ def _splat_shift(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array
     rarer far entries (sentinel-hole-filled flows, models/rife.py:69-70, and
     extreme motion) are dropped. Their targets then read as splat holes and
     downstream hole-filling (< 0.999 coverage, models/drm.py:98-102) falls
-    back to the unaligned value — a graceful, localized deviation measured at
-    SSIM > 0.999 vs the exact backend on real content. Use the 'scatter'
-    backend for bit-exact needs.
+    back to the unaligned value — a graceful, localized deviation.
+    Measured on the DRM path (tests/test_splat_deviation.py): bit-identical
+    up to 20 px/frame pans; SSIM 0.938 / max abs diff 0.031 on the timestep
+    maps at extreme 40 px/frame pans. Use the 'scatter' backend for
+    bit-exact needs.
     """
     n, h, w, c = ten.shape
     r = radius
