@@ -44,7 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--fp32", dest="fp32", action="store_true", default=False,
                    help="compute in float32 instead of bfloat16")
     p.add_argument("--devices", dest="devices", type=int, default=1,
-                   help="shard the window batch across N chips (rife, no scdet)")
+                   help="shard the window batch across N chips (rife, no scdet; "
+                        "output differs from serial within numerical tolerance: "
+                        "each window recomputes its backward flow instead of "
+                        "reusing the previous window's reversed pair)")
+    p.add_argument("--profile", dest="profile", action="store_true", default=False,
+                   help="print per-stage wall-clock timings at the end")
     return p.parse_args(argv)
 
 
@@ -103,12 +108,15 @@ def main(argv=None):
             scdet_threshold=args.scdet_threshold,
             progress=pbar.update,
             times=args.times,
+            profile=args.profile,
         )
     pbar.close()
     print(
         f"done: {stats.frames_in} frames in, {stats.frames_out} frames out, "
         f"{stats.windows} windows, {stats.scene_cuts} scene cuts"
     )
+    if getattr(stats, "stage_report", None):
+        print(stats.stage_report)
     return stats
 
 

@@ -15,6 +15,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import contextlib
 import queue
 import threading
 from dataclasses import dataclass
@@ -23,6 +24,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from drba_tpu.utils import TMapper, check_scene, get_valid_net_inp_size, to_inp, to_out
+from drba_tpu.utils.profiling import StageTimes
 from drba_tpu.utils.video_io import VideoFI_IO
 
 
@@ -99,6 +101,7 @@ class PipelineStats:
     frames_out: int = 0
     windows: int = 0
     scene_cuts: int = 0
+    stage_report: Optional[str] = None
 
 
 def run_pipeline(
@@ -109,8 +112,14 @@ def run_pipeline(
     progress: Optional[Callable[[int], None]] = None,
     max_frames: Optional[int] = None,
     times: int = -1,
+    profile: bool = False,
 ) -> PipelineStats:
+    """Run the frame loop; with ``profile`` a per-stage wall-clock report is
+    attached to the returned stats (device dispatch is async, so 'window'
+    measures dispatch + any internal syncs and 'emit-wait' measures
+    backpressure from the download/encode thread)."""
     stats = PipelineStats()
+    st = StageTimes() if profile else None
     src_fps, dst_fps = video_io.src_fps, video_io.dst_fps
     if dst_fps <= src_fps:
         raise ValueError(f"dst fps must exceed src fps ({dst_fps} <= {src_fps})")
@@ -153,43 +162,50 @@ def run_pipeline(
     if progress:
         progress(1)
 
+    def stage(name):
+        return st.stage(name) if st is not None else contextlib.nullcontext()
+
     # ---- body (infer.py:112-156) -----------------------------------------
     while True:
         if max_frames is not None and stats.frames_in >= max_frames:
             break
-        I2 = prefetch.next()
+        with stage("prefetch-wait"):
+            I2 = prefetch.next()
         if I2 is None:
             break
         stats.frames_in += 1
 
         ts = calc_ts(idx, t_mapper, times)
-        right_scene = check_scene(I1, I2, scdet_threshold) if enable_scdet else False
+        with stage("scdet"):
+            right_scene = check_scene(I1, I2, scdet_threshold) if enable_scdet else False
         if right_scene:
             stats.scene_cuts += 1
 
-        if left_scene and right_scene:
-            # cuts on both sides: repeat I1 (infer.py:122-124)
-            output = [I1 for _ in ts]
-            reuse = None
-        elif left_scene:
-            # cut in I0~I1: plain interpolation on the right (infer.py:126-132)
-            left_ts = ts[ts < 1]
-            right_ts = ts[ts >= 1] - 1
-            reuse = None
-            output = [I1 for _ in left_ts]
-            output.extend(model.inference_ts(I1, I2, right_ts))
-        elif right_scene:
-            # cut in I1~I2: plain interpolation on the left (infer.py:134-140)
-            left_ts = ts[ts <= 1]
-            right_ts = ts[ts > 1] - 1
-            reuse = None
-            output = model.inference_ts(I0, I1, left_ts)
-            output.extend([I1 for _ in right_ts])
-        else:
-            output, reuse = model.inference_ts_drba(I0, I1, I2, ts, reuse, linear=True)
+        with stage("window"):
+            if left_scene and right_scene:
+                # cuts on both sides: repeat I1 (infer.py:122-124)
+                output = [I1 for _ in ts]
+                reuse = None
+            elif left_scene:
+                # cut in I0~I1: plain interpolation on the right (infer.py:126-132)
+                left_ts = ts[ts < 1]
+                right_ts = ts[ts >= 1] - 1
+                reuse = None
+                output = [I1 for _ in left_ts]
+                output.extend(model.inference_ts(I1, I2, right_ts))
+            elif right_scene:
+                # cut in I1~I2: plain interpolation on the left (infer.py:134-140)
+                left_ts = ts[ts <= 1]
+                right_ts = ts[ts > 1] - 1
+                reuse = None
+                output = model.inference_ts(I0, I1, left_ts)
+                output.extend([I1 for _ in right_ts])
+            else:
+                output, reuse = model.inference_ts_drba(I0, I1, I2, ts, reuse, linear=True)
 
-        for x in output:
-            emit(x)
+        with stage("emit-wait"):
+            for x in output:
+                emit(x)
 
         I0, I1 = I1, I2
         left_scene = right_scene
@@ -209,6 +225,9 @@ def run_pipeline(
     if progress:
         progress(1)
 
-    emitter.finish()
-    video_io.finish_writing()
+    with stage("finish"):
+        emitter.finish()
+        video_io.finish_writing()
+    if st is not None:
+        stats.stage_report = st.report()
     return stats

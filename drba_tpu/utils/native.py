@@ -41,6 +41,7 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ]
             lib.drba_rgbf32_to_bgr8.argtypes = list(lib.drba_bgr8_to_rgbf32.argtypes)
+            lib.drba_bgr8_to_rgb8.argtypes = list(lib.drba_bgr8_to_rgbf32.argtypes)
             lib.drba_ring_create.restype = ctypes.c_void_p
             lib.drba_ring_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
             lib.drba_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -71,6 +72,22 @@ def bgr8_to_rgbf32(frame: np.ndarray, threads: int = 0) -> np.ndarray:
     frame = np.ascontiguousarray(frame)
     out = np.empty((h, w, 3), np.float32)
     lib.drba_bgr8_to_rgbf32(frame.ctypes.data, out.ctypes.data, h, w, threads)
+    return out
+
+
+def bgr8_to_rgb8(frame: np.ndarray, out: np.ndarray | None = None,
+                 threads: int = 0) -> np.ndarray:
+    """HWC BGR uint8 -> RGB uint8 channel flip into a reusable buffer (the
+    per-frame op feeding ffmpeg's rgb24 pipe)."""
+    lib = _load()
+    h, w = frame.shape[:2]
+    if out is None:
+        out = np.empty((h, w, 3), np.uint8)
+    if lib is None:
+        np.copyto(out, frame[:, :, ::-1])
+        return out
+    frame = np.ascontiguousarray(frame)
+    lib.drba_bgr8_to_rgb8(frame.ctypes.data, out.ctypes.data, h, w, threads)
     return out
 
 

@@ -87,13 +87,22 @@ class VideoFI_IO:
         self.capture.release()
 
     def _write_loop(self):
+        from drba_tpu.utils import native
+
+        rgb_buf = None
         while True:
             item = self.write_buffer.get()
             if item is None:
                 break
             if self._ffmpeg is not None:
-                # frames travel as BGR (decoder-native); flip for the pipe
-                self._ffmpeg.stdin.write(np.ascontiguousarray(item[:, :, ::-1]))
+                # frames travel as BGR (decoder-native); flip for the rgb24
+                # pipe. The flip runs in the native host lib into a reused
+                # buffer (multithreaded, no per-frame allocation) — numpy's
+                # strided-reverse copy costs ~9 ms per 4K frame on one core.
+                if rgb_buf is None or rgb_buf.shape != item.shape:
+                    rgb_buf = np.empty_like(item)
+                native.bgr8_to_rgb8(item, out=rgb_buf)
+                self._ffmpeg.stdin.write(rgb_buf)
             else:
                 self._writer.write(item)
         if self._ffmpeg is not None:

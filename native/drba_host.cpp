@@ -70,6 +70,26 @@ void drba_bgr8_to_rgbf32(const uint8_t* src, float* dst, int64_t h, int64_t w,
   });
 }
 
+// BGR uint8 (H,W,3) -> RGB uint8 (H,W,3): the per-frame channel flip feeding
+// ffmpeg's rgb24 rawvideo pipe (reference flips with numpy per frame,
+// tools.py:202). Multithreaded, writes into a caller-reused buffer — no
+// per-frame allocation.
+void drba_bgr8_to_rgb8(const uint8_t* src, uint8_t* dst, int64_t h, int64_t w,
+                       int threads) {
+  threads = clamp_threads(h * w * 3, threads);
+  parallel_rows(h, threads, [=](int64_t lo, int64_t hi) {
+    for (int64_t y = lo; y < hi; ++y) {
+      const uint8_t* s = src + y * w * 3;
+      uint8_t* d = dst + y * w * 3;
+      for (int64_t x = 0; x < w; ++x) {
+        d[x * 3 + 0] = s[x * 3 + 2];
+        d[x * 3 + 1] = s[x * 3 + 1];
+        d[x * 3 + 2] = s[x * 3 + 0];
+      }
+    }
+  });
+}
+
 // RGB float32 [0,1] (H,W,3) -> BGR uint8 (H,W,3), truncating like the
 // reference's (x*255).astype(uint8) (tools.py:38).
 void drba_rgbf32_to_bgr8(const float* src, uint8_t* dst, int64_t h, int64_t w,

@@ -87,3 +87,16 @@ def test_frame_ring_threaded():
     assert len(received) == n
     for a, b in zip(received, sent):
         np.testing.assert_array_equal(a, b)
+
+
+def test_bgr8_to_rgb8_flip_parity():
+    import numpy as np
+
+    from drba_tpu.utils import native
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (64, 96, 3), np.uint8)
+    out = np.empty_like(frame)
+    res = native.bgr8_to_rgb8(frame, out=out)
+    assert res is out
+    np.testing.assert_array_equal(out, frame[:, :, ::-1])
