@@ -44,10 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--fp32", dest="fp32", action="store_true", default=False,
                    help="compute in float32 instead of bfloat16")
     p.add_argument("--devices", dest="devices", type=int, default=1,
-                   help="shard the window batch across N chips (rife, no scdet; "
-                        "output differs from serial within numerical tolerance: "
-                        "each window recomputes its backward flow instead of "
-                        "reusing the previous window's reversed pair)")
+                   help="shard the window batch across N chips (all models, "
+                        "scdet supported; output differs from serial within "
+                        "numerical tolerance: each window recomputes its "
+                        "backward flow instead of reusing the previous "
+                        "window's reversed pair)")
     p.add_argument("--profile", dest="profile", action="store_true", default=False,
                    help="print per-stage wall-clock timings at the end")
     return p.parse_args(argv)
@@ -90,17 +91,16 @@ def main(argv=None):
         args.input, args.output, dst_fps=args.dst_fps, times=args.times, hwaccel=args.hwaccel
     )
     pbar = tqdm(total=video_io.total_frames_count)
-    if args.devices > 1 and args.model_type == "rife" and not args.enable_scdet:
+    if args.devices > 1:
         from drba_tpu.parallel.pipeline import run_pipeline_parallel
 
         stats = run_pipeline_parallel(
             model, video_io, n_devices=args.devices,
             progress=pbar.update, times=args.times,
+            enable_scdet=args.enable_scdet,
+            scdet_threshold=args.scdet_threshold,
         )
     else:
-        if args.devices > 1:
-            print("[drba_tpu] multi-device plan currently covers rife without "
-                  "scdet; falling back to the serial pipeline")
         stats = run_pipeline(
             model,
             video_io,

@@ -47,6 +47,69 @@ def rife_windows_batched(params, I0, I1, I2, ts, scale_list, linear=True,
     return jax.vmap(one_window)(I0, I1, I2, ts)
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "linear", "splat_backend"))
+def gmfss_windows_batched(params, I0, I1, I2, ts, scale=1.0, linear=True,
+                          splat_backend="auto"):
+    """GMFSS window batch: I* (B, 1, H, W, 3), ts (B, T) -> (B, T, 1, H, W, 3).
+
+    Reuse-free plan: each window computes BOTH bidirectional gmflow passes
+    (the serial path reuses the previous window's reversed pair, which would
+    serialize chips); everything else matches models/gmfss.py."""
+    from drba_tpu.models.gmfss import _interp_one_t as gmfss_one_t
+    from drba_tpu.models.gmfss_core import gmfss_reuse
+
+    def one_window(i0, i1, i2, tvec):
+        reuse10 = gmfss_reuse(params, i1, i0, scale=scale, union=False)
+        reuse12 = gmfss_reuse(params, i1, i2, scale=scale, union=False)
+        return jax.vmap(
+            lambda t: gmfss_one_t(params, t, i0, i1, i2, reuse10, reuse12,
+                                  linear, splat_backend)
+        )(tvec)
+
+    return jax.vmap(one_window)(I0, I1, I2, ts)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "scale_list", "linear",
+                                             "splat_backend"))
+def union_windows_batched(params, rife_params, I0, I1, I2, ts, scale=1.0,
+                          scale_list=(16.0, 8.0, 4.0, 2.0, 1.0), linear=True,
+                          splat_backend="auto"):
+    """GMFSS_UNION window batch (aux half-res RIFE included)."""
+    from drba_tpu.models.gmfss_core import gmfss_reuse
+    from drba_tpu.models.gmfss_union import _interp_one_t as union_one_t
+
+    def one_window(i0, i1, i2, tvec):
+        reuse10 = gmfss_reuse(params, i1, i0, scale=scale, union=True)
+        reuse12 = gmfss_reuse(params, i1, i2, scale=scale, union=True)
+        return jax.vmap(
+            lambda t: union_one_t(params, rife_params, t, i0, i1, i2,
+                                  reuse10, reuse12, scale_list, linear,
+                                  splat_backend)
+        )(tvec)
+
+    return jax.vmap(one_window)(I0, I1, I2, ts)
+
+
+def make_window_fn(model):
+    """Bind a model wrapper to its batched multi-window program."""
+    name = type(model).__name__
+    backend = model.config.splat_backend
+    if name == "RIFE":
+        return lambda I0, I1, I2, ts: rife_windows_batched(
+            model.params, I0, I1, I2, ts, model.scale_list, True, backend
+        )
+    if name == "GMFSS":
+        return lambda I0, I1, I2, ts: gmfss_windows_batched(
+            model.params, I0, I1, I2, ts, model.scale, True, backend
+        )
+    if name == "GMFSS_UNION":
+        return lambda I0, I1, I2, ts: union_windows_batched(
+            model.params, model.rife_params, I0, I1, I2, ts, model.scale,
+            model.scale_list, True, backend
+        )
+    raise ValueError(f"no batched window plan for model {name}")
+
+
 class WindowPlanner:
     """Groups sequential windows into device-count batches.
 
@@ -55,10 +118,9 @@ class WindowPlanner:
     and dropping its output.
     """
 
-    def __init__(self, mesh, params, scale_list, ts_bucket: int):
+    def __init__(self, mesh, model, ts_bucket: int):
         self.mesh = mesh
-        self.params = params
-        self.scale_list = scale_list
+        self.window_fn = make_window_fn(model)
         self.ts_bucket = ts_bucket
         self.batch = mesh.devices.size
 
@@ -86,8 +148,6 @@ class WindowPlanner:
             I2 = jnp.stack([g[2] for g in group])
             I0, I1, I2, ts = shard_batch(self.mesh, (I0, I1, I2, ts))
 
-            out = rife_windows_batched(
-                self.params, I0, I1, I2, ts, self.scale_list, True
-            )
+            out = self.window_fn(I0, I1, I2, ts)
             for b in range(real):
                 yield [out[b, t] for t in range(counts[b])]

@@ -41,7 +41,7 @@ def test_batched_windows_sharded_matches_serial():
 def test_window_planner_order_and_trim():
     model = RIFE(weights=None, scale=1.0, config=F32)
     mesh = make_mesh(4)
-    planner = WindowPlanner(mesh, model.params, model.scale_list, ts_bucket=3)
+    planner = WindowPlanner(mesh, model, ts_bucket=3)
     rng = np.random.default_rng(1)
     h, w = 64, 64
 
@@ -71,6 +71,61 @@ def test_graft_entry_contract():
     assert out.shape[0] == 3  # T timesteps
 
     mod.dryrun_multichip(8)
+
+
+def test_gmfss_windows_batched_sharded_matches_serial():
+    """Quality-path window batch over the mesh == unsharded program."""
+    from drba_tpu.models.gmfss import GMFSS
+    from drba_tpu.parallel.batch import gmfss_windows_batched
+
+    model = GMFSS(weights=None, scale=1.0, config=F32)
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(2)
+    h, w = 128, 192
+    B, T = 2, 2
+    mk = lambda: jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
+    I0, I1, I2 = mk(), mk(), mk()
+    ts = jnp.tile(jnp.asarray([[0.5, 1.5]], jnp.float32), (B, 1))
+
+    with mesh:
+        sI0, sI1, sI2, sts = shard_batch(mesh, (I0, I1, I2, ts))
+        sharded = gmfss_windows_batched(model.params, sI0, sI1, sI2, sts, 1.0, True)
+        sharded.block_until_ready()
+    assert sharded.shape == (B, T, 1, h, w, 3)
+    assert len(sharded.sharding.device_set) == 2
+
+    serial = gmfss_windows_batched(model.params, I0, I1, I2, ts, 1.0, True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial), atol=1e-5)
+
+
+def test_parallel_pipeline_scdet(tmp_path):
+    """Multi-device pipeline with scene detection: cut windows take the
+    branch semantics serially, clean runs batch across the mesh."""
+    import cv2
+
+    from drba_tpu.cli import main
+
+    H, W = 64, 128
+    inp = str(tmp_path / "in_cut.mp4")
+    outp = str(tmp_path / "out_cut.mp4")
+    vw = cv2.VideoWriter(inp, cv2.VideoWriter_fourcc(*"mp4v"), 12, (W, H))
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+    b = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)  # unrelated: a cut
+    for i in range(10):
+        base = a if i < 5 else b
+        vw.write(np.roll(base, 4 * i, axis=1))
+    vw.release()
+
+    stats = main(["-m", "rife", "-i", inp, "-o", outp, "-t", "2", "--fp32",
+                  "-s", "-st", "0.3", "--devices", "4",
+                  "--weights", str(tmp_path / "none")])
+    assert stats.frames_in == 10
+    assert stats.frames_out == 20
+    assert stats.scene_cuts >= 1
+    cap = cv2.VideoCapture(outp)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 20
+    cap.release()
 
 
 def test_parallel_pipeline_end_to_end(tmp_path):
