@@ -51,16 +51,34 @@ def _kernel(ys_ref, xs_ref, x0_ref, wx_ref, y0_ref, wy_ref, img_ref, out_ref,
     i = pl.program_id(1)
     j = pl.program_id(2)
     t = (b * nty + i) * ntx + j
+    total = pl.num_programs(0) * nty * ntx
 
-    ys = pl.multiple_of(ys_ref[t], 8)
-    xs = pl.multiple_of(xs_ref[t], 128)
-    dma = pltpu.make_async_copy(
-        img_ref.at[b, :, pl.ds(ys, wh), pl.ds(xs, ww)], win, sem
-    )
-    dma.start()
-    dma.wait()
+    # Double-buffered window DMA: grid steps run sequentially and scratch
+    # persists across them, so tile t+1's window streams in behind tile t's
+    # matmuls.
+    def win_dma(slot, tt):
+        bb = tt // (nty * ntx)
+        rr = tt % (nty * ntx)
+        return pltpu.make_async_copy(
+            img_ref.at[
+                bb, :,
+                pl.ds(pl.multiple_of(ys_ref[tt], 8), wh),
+                pl.ds(pl.multiple_of(xs_ref[tt], 128), ww),
+            ],
+            win.at[slot],
+            sem.at[slot],
+        )
 
-    m = win[...].reshape(c * wh, ww)  # free: wh is a sublane-tile multiple
+    @pl.when(t == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(t + 1 < total)
+    def _():
+        win_dma((t + 1) % 2, t + 1).start()
+
+    win_dma(t % 2, t).wait()
+    m = win[t % 2].reshape(c * wh, ww)  # free: wh is a sublane-tile multiple
 
     # Mosaic iota is integer-only; compares run in f32 (no bf16 compares on
     # v5e), so convert once.
@@ -149,8 +167,8 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
             (1, c, TH, TW), lambda b, i, j, ys, xs: (b, 0, i, j)
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, wh, ww), img_chw.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, c, wh, ww), img_chw.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
