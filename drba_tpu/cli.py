@@ -51,6 +51,14 @@ def parse_args(argv=None):
                         "window's reversed pair)")
     p.add_argument("--profile", dest="profile", action="store_true", default=False,
                    help="print per-stage wall-clock timings at the end")
+    p.add_argument("--seg-frames", dest="seg_frames", type=int, default=0,
+                   help="write output in crash-safe segments of N frames "
+                        "(stream-concatenated + audio-muxed at the end); "
+                        "enables --resume")
+    p.add_argument("--resume", dest="resume", action="store_true", default=False,
+                   help="resume a crashed/interrupted segmented run: skips "
+                        "windows whose outputs are in completed segments "
+                        "(requires --seg-frames)")
     return p.parse_args(argv)
 
 
@@ -87,11 +95,30 @@ def main(argv=None):
     )
     model = load_model(args.model_type, args.weights, args.scale, config)
 
-    video_io = VideoFI_IO(
-        args.input, args.output, dst_fps=args.dst_fps, times=args.times, hwaccel=args.hwaccel
-    )
+    skip_outputs = 0
+    if args.seg_frames > 0:
+        from drba_tpu.utils.segmented_io import SegmentedVideoIO
+
+        video_io = SegmentedVideoIO(
+            args.input, args.output, dst_fps=args.dst_fps, times=args.times,
+            hwaccel=args.hwaccel, seg_frames=args.seg_frames,
+        )
+        if args.resume:
+            skip_outputs = video_io.completed_frames
+            if skip_outputs:
+                print(f"[drba_tpu] resuming after {skip_outputs} completed "
+                      f"output frames")
+    elif args.resume:
+        raise ValueError("--resume requires --seg-frames N (segmented output)")
+    else:
+        video_io = VideoFI_IO(
+            args.input, args.output, dst_fps=args.dst_fps, times=args.times,
+            hwaccel=args.hwaccel,
+        )
     pbar = tqdm(total=video_io.total_frames_count)
-    if args.devices > 1:
+    if args.devices > 1 and skip_outputs:
+        print("[drba_tpu] --resume runs on the serial pipeline")
+    if args.devices > 1 and not skip_outputs:
         from drba_tpu.parallel.pipeline import run_pipeline_parallel
 
         stats = run_pipeline_parallel(
@@ -109,6 +136,7 @@ def main(argv=None):
             progress=pbar.update,
             times=args.times,
             profile=args.profile,
+            skip_outputs=skip_outputs,
         )
     pbar.close()
     print(

@@ -113,13 +113,21 @@ def run_pipeline(
     max_frames: Optional[int] = None,
     times: int = -1,
     profile: bool = False,
+    skip_outputs: int = 0,
 ) -> PipelineStats:
     """Run the frame loop; with ``profile`` a per-stage wall-clock report is
     attached to the returned stats (device dispatch is async, so 'window'
     measures dispatch + any internal syncs and 'emit-wait' measures
-    backpressure from the download/encode thread)."""
+    backpressure from the download/encode thread).
+
+    ``skip_outputs`` resumes a previous run: the first N output frames are
+    assumed already written (SegmentedVideoIO.completed_frames); windows
+    whose outputs are fully covered fast-forward decode-only (no device
+    compute), the boundary window recomputes and emits only its tail.
+    """
     stats = PipelineStats()
     st = StageTimes() if profile else None
+    plan_pos = 0  # output frames planned so far (skipped + emitted)
     src_fps, dst_fps = video_io.src_fps, video_io.dst_fps
     if dst_fps <= src_fps:
         raise ValueError(f"dst fps must exceed src fps ({dst_fps} <= {src_fps})")
@@ -143,6 +151,25 @@ def run_pipeline(
     emitter = _Emitter(video_io, src_size, stats)
     emit = emitter.emit
 
+    def stage(name):
+        return st.stage(name) if st is not None else contextlib.nullcontext()
+
+    def emit_block(n_out: int, build):
+        """Plan ``n_out`` outputs; build+emit only the part past the resume
+        point (build runs lazily — fully skipped blocks never touch the
+        device)."""
+        nonlocal plan_pos
+        start = plan_pos
+        plan_pos += n_out
+        if plan_pos <= skip_outputs:
+            return
+        with stage("window"):
+            output = build()
+        assert len(output) == n_out, (len(output), n_out)
+        with stage("emit-wait"):
+            for x in output[max(0, skip_outputs - start):]:
+                emit(x)
+
     # ---- head (infer.py:93-110) ------------------------------------------
     ts = calc_ts(idx, t_mapper, times)
     left_scene = check_scene(I0, I1, scdet_threshold) if enable_scdet else False
@@ -151,19 +178,17 @@ def run_pipeline(
 
     if right_scene:
         stats.scene_cuts += 1
-        output = [I0 for _ in ts]
-    else:
+
+    def head_block(I0=I0, I1=I1, ts=ts, cut=right_scene):
+        if cut:
+            return [I0 for _ in ts]
         left_ts = ts[ts < 1]
         right_ts = ts[ts >= 1] - 1
-        output = [I0 for _ in left_ts]
-        output.extend(model.inference_ts(I0, I1, right_ts))
-    for x in output:
-        emit(x)
+        return [I0 for _ in left_ts] + list(model.inference_ts(I0, I1, right_ts))
+
+    emit_block(len(ts), head_block)
     if progress:
         progress(1)
-
-    def stage(name):
-        return st.stage(name) if st is not None else contextlib.nullcontext()
 
     # ---- body (infer.py:112-156) -----------------------------------------
     while True:
@@ -181,31 +206,29 @@ def run_pipeline(
         if right_scene:
             stats.scene_cuts += 1
 
-        with stage("window"):
-            if left_scene and right_scene:
+        def window_block(I0=I0, I1=I1, I2=I2, ts=ts,
+                         ls=left_scene, rs=right_scene):
+            nonlocal reuse
+            if ls and rs:
                 # cuts on both sides: repeat I1 (infer.py:122-124)
-                output = [I1 for _ in ts]
                 reuse = None
-            elif left_scene:
+                return [I1 for _ in ts]
+            if ls:
                 # cut in I0~I1: plain interpolation on the right (infer.py:126-132)
                 left_ts = ts[ts < 1]
                 right_ts = ts[ts >= 1] - 1
                 reuse = None
-                output = [I1 for _ in left_ts]
-                output.extend(model.inference_ts(I1, I2, right_ts))
-            elif right_scene:
+                return [I1 for _ in left_ts] + list(model.inference_ts(I1, I2, right_ts))
+            if rs:
                 # cut in I1~I2: plain interpolation on the left (infer.py:134-140)
                 left_ts = ts[ts <= 1]
                 right_ts = ts[ts > 1] - 1
                 reuse = None
-                output = model.inference_ts(I0, I1, left_ts)
-                output.extend([I1 for _ in right_ts])
-            else:
-                output, reuse = model.inference_ts_drba(I0, I1, I2, ts, reuse, linear=True)
+                return list(model.inference_ts(I0, I1, left_ts)) + [I1 for _ in right_ts]
+            output, reuse = model.inference_ts_drba(I0, I1, I2, ts, reuse, linear=True)
+            return output
 
-        with stage("emit-wait"):
-            for x in output:
-                emit(x)
+        emit_block(len(ts), window_block)
 
         I0, I1 = I1, I2
         left_scene = right_scene
@@ -216,12 +239,13 @@ def run_pipeline(
 
     # ---- tail (infer.py:158-169) -----------------------------------------
     ts = calc_ts(idx, t_mapper, times)
-    left_ts = ts[ts <= 1]
-    right_ts = ts[ts > 1] - 1
-    output = model.inference_ts(I0, I1, left_ts)
-    output.extend([I1 for _ in right_ts])
-    for x in output:
-        emit(x)
+
+    def tail_block(I0=I0, I1=I1, ts=ts):
+        left_ts = ts[ts <= 1]
+        right_ts = ts[ts > 1] - 1
+        return list(model.inference_ts(I0, I1, left_ts)) + [I1 for _ in right_ts]
+
+    emit_block(len(ts), tail_block)
     if progress:
         progress(1)
 

@@ -1,0 +1,215 @@
+"""Segmented output + manifest: crash-safe encode and job-level resume.
+
+SURVEY.md §5: the reference has no failure recovery — any exception aborts
+the run and the partial mp4 is unusable (ffmpeg never writes the trailer).
+Greenfield design for production serving:
+
+  * output is written as fixed-length segments ``<out>.segments/seg_00000.mp4``;
+    a segment only enters ``manifest.json`` after its encoder exited cleanly
+    (manifest updates are atomic: tmp + rename), so a crash costs at most one
+    in-flight segment;
+  * on resume, ``completed_frames`` tells the pipeline how many output
+    frames already exist; the frame loop skips the device compute for fully
+    completed windows (decode-only fast-forward) and continues encoding into
+    the next segment;
+  * ``finish_writing`` stream-concats the segments (no re-encode) and muxes
+    the source audio into the final output.
+
+Duck-types the VideoFI_IO surface (read_frame / write_frame /
+finish_writing / src_fps / dst_fps / total_frames_count) so both pipelines
+accept it unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import shutil
+import subprocess
+import threading
+
+import cv2
+import numpy as np
+
+
+class SegmentedVideoIO:
+    def __init__(
+        self,
+        input_path: str,
+        output_path: str,
+        dst_fps: float = 60,
+        times: int = -1,
+        hwaccel: bool = False,
+        seg_frames: int = 600,
+        read_queue: int = 100,
+        write_queue: int = 256,
+    ):
+        self.capture = cv2.VideoCapture(input_path)
+        if not self.capture.isOpened():
+            raise FileNotFoundError(f"cannot open video {input_path}")
+        self.src_fps = self.capture.get(cv2.CAP_PROP_FPS)
+        self.dst_fps = times * self.src_fps if times != -1 else dst_fps
+        self.total_frames_count = int(self.capture.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.width = int(self.capture.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self.capture.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+        self.input_path = input_path
+        self.output_path = output_path
+        self.hwaccel = hwaccel
+        self.seg_frames = int(seg_frames)
+        self.work_dir = output_path + ".segments"
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.manifest_path = os.path.join(self.work_dir, "manifest.json")
+        self._manifest = self._load_manifest()
+        self.completed_frames = sum(s["frames"] for s in self._manifest["segments"])
+
+        self.read_buffer: queue.Queue = queue.Queue(maxsize=read_queue)
+        self.write_buffer: queue.Queue = queue.Queue(maxsize=write_queue)
+        self._reader_t = threading.Thread(target=self._read_loop, daemon=True)
+        self._writer_t = threading.Thread(target=self._write_loop, daemon=True)
+        self._reader_t.start()
+        self._writer_t.start()
+        self._closed = False
+
+    # -- manifest ------------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            m = json.load(open(self.manifest_path))
+            if m.get("dst_fps") != self.dst_fps or m.get("size") != [self.width, self.height]:
+                raise ValueError(
+                    f"manifest at {self.manifest_path} was written for different "
+                    f"output settings; delete {self.work_dir} to start over"
+                )
+            # drop any stale in-flight segment file not in the manifest
+            known = {s["file"] for s in m["segments"]}
+            for f in os.listdir(self.work_dir):
+                if f.startswith("seg_") and f not in known:
+                    os.remove(os.path.join(self.work_dir, f))
+            return m
+        return {"dst_fps": self.dst_fps, "size": [self.width, self.height],
+                "segments": []}
+
+    def _commit_segment(self, fname: str, frames: int) -> None:
+        self._manifest["segments"].append({"file": fname, "frames": frames})
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    # -- decode side (same pattern as VideoFI_IO) ----------------------------
+    def _read_loop(self):
+        ok, frame = self.capture.read()
+        while ok:
+            self.read_buffer.put(frame)
+            ok, frame = self.capture.read()
+        self.read_buffer.put(None)
+        self.capture.release()
+
+    def read_frame(self):
+        return self.read_buffer.get()
+
+    # -- segmented encode ----------------------------------------------------
+    def _open_segment(self, index: int):
+        fname = f"seg_{index:05d}.mp4"
+        path = os.path.join(self.work_dir, fname)
+        if shutil.which("ffmpeg"):
+            encoder, preset = ("h264_nvenc", "p7") if self.hwaccel else ("libx264", "medium")
+            proc = subprocess.Popen(
+                ["ffmpeg", "-y", "-loglevel", "error", "-f", "rawvideo",
+                 "-pix_fmt", "rgb24", "-r", f"{self.dst_fps}",
+                 "-s", f"{self.width}x{self.height}", "-i", "pipe:0",
+                 "-c:v", encoder, "-pix_fmt", "yuv420p", "-qp", "16",
+                 "-preset", preset, path],
+                stdin=subprocess.PIPE,
+            )
+            return fname, proc, None
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), self.dst_fps,
+            (self.width, self.height),
+        )
+        return fname, None, writer
+
+    def _close_segment(self, proc, writer):
+        if proc is not None:
+            proc.stdin.close()
+            proc.wait()
+        if writer is not None:
+            writer.release()
+
+    def _write_loop(self):
+        from drba_tpu.utils import native
+
+        index = len(self._manifest["segments"])
+        fname = proc = writer = None
+        n = 0
+        rgb_buf = None
+        while True:
+            item = self.write_buffer.get()
+            if item is None:
+                break
+            if fname is None:
+                fname, proc, writer = self._open_segment(index)
+                n = 0
+            if proc is not None:
+                if rgb_buf is None or rgb_buf.shape != item.shape:
+                    rgb_buf = np.empty_like(item)
+                native.bgr8_to_rgb8(item, out=rgb_buf)
+                proc.stdin.write(rgb_buf)
+            else:
+                writer.write(item)
+            n += 1
+            if n >= self.seg_frames:
+                self._close_segment(proc, writer)
+                self._commit_segment(fname, n)
+                index += 1
+                fname = proc = writer = None
+        if fname is not None:
+            self._close_segment(proc, writer)
+            self._commit_segment(fname, n)
+
+    def write_frame(self, frame: np.ndarray) -> None:
+        self.write_buffer.put(frame)
+
+    # -- finalize ------------------------------------------------------------
+    def _concat(self) -> None:
+        segs = self._manifest["segments"]
+        if not segs:
+            raise RuntimeError("no completed segments to finalize")
+        if shutil.which("ffmpeg"):
+            lst = os.path.join(self.work_dir, "concat.txt")
+            with open(lst, "w") as f:
+                for s in segs:
+                    f.write(f"file '{os.path.join(os.path.abspath(self.work_dir), s['file'])}'\n")
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", "-f", "concat",
+                 "-safe", "0", "-i", lst, "-i", self.input_path,
+                 "-map", "0:v", "-map", "1:a?", "-c:v", "copy",
+                 "-c:a", "aac", "-b:a", "320k", "-movflags", "+faststart",
+                 self.output_path],
+                check=True,
+            )
+        else:  # cv2 fallback: re-mux by decoding segments
+            out = cv2.VideoWriter(
+                self.output_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                self.dst_fps, (self.width, self.height),
+            )
+            for s in segs:
+                cap = cv2.VideoCapture(os.path.join(self.work_dir, s["file"]))
+                ok, fr = cap.read()
+                while ok:
+                    out.write(fr)
+                    ok, fr = cap.read()
+                cap.release()
+            out.release()
+
+    def finish_writing(self) -> bool:
+        if not self._closed:
+            self._closed = True
+            self.write_buffer.put(None)
+        self._writer_t.join(timeout=600)
+        if self._writer_t.is_alive():
+            return False
+        self._concat()
+        shutil.rmtree(self.work_dir, ignore_errors=True)
+        return True
