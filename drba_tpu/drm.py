@@ -96,6 +96,30 @@ def _retime(drm: jax.Array, t, linear: bool) -> jax.Array:
     return drm * t * 2 if linear else get_drm_t(drm, t)
 
 
+def _retime_batched(drm: jax.Array, ts: jax.Array, linear: bool) -> jax.Array:
+    """Retime one (N,H,W,1) map at T timesteps -> (T*N,H,W,1) folded maps.
+
+    Batching is explicit (fold into the leading axis) rather than vmap so the
+    downstream Pallas splat kernels are never traced under vmap (they index
+    scratch by ``pl.program_id``; see ops/splat_stencil.py)."""
+    T = ts.shape[0]
+    n, h, w, _ = drm.shape
+    if linear:
+        out = drm[None] * ts[:, None, None, None, None] * 2
+    else:
+        out = jax.vmap(lambda t: get_drm_t(drm, t))(ts)
+    return out.reshape(T * n, h, w, 1)
+
+
+def _tile_t(x: jax.Array, T: int) -> jax.Array:
+    """Broadcast (N, ...) -> (T*N, ...) matching ``_retime_batched`` order."""
+    return jnp.broadcast_to(x[None], (T,) + x.shape).reshape((-1,) + x.shape[1:])
+
+
+def _is_batched_t(t) -> bool:
+    return hasattr(t, "ndim") and t.ndim == 1
+
+
 def _hole_fill(warped: jax.Array, warped_ones: jax.Array, fallback: jax.Array) -> jax.Array:
     """Replace pixels whose warped coverage < 0.999 (drm.py:98-102)."""
     return jnp.where(warped_ones < 0.999, fallback, warped)
@@ -113,10 +137,22 @@ def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False,
     RIFE consumes the DRM as a per-pixel timestep, aligned to the
     intermediate frame's time by forward-warping along ``flow * drm``.
     ``backend`` selects the softsplat implementation (Config.splat_backend).
+
+    ``t`` may be a scalar or a (T,) vector; the vector case returns
+    (T*N, H, W, 1) maps folded over the leading axis (explicit batching —
+    never vmap this function over ``t``, the Pallas splat backend is not
+    vmappable).
     """
     drm10, drm12 = _ratio_maps(flow10, flow12, eps=1e-4)
-    drm_t0 = _retime(drm10, t, linear)
-    drm_t1 = _retime(drm12, t, linear)
+    if _is_batched_t(t):
+        T = t.shape[0]
+        drm_t0 = _retime_batched(drm10, t, linear)
+        drm_t1 = _retime_batched(drm12, t, linear)
+        flow10 = _tile_t(flow10, T)
+        flow12 = _tile_t(flow12, T)
+    else:
+        drm_t0 = _retime(drm10, t, linear)
+        drm_t1 = _retime(drm12, t, linear)
 
     w01, m01 = softsplat(drm_t1, flow10 * drm_t1, None, "avg",
                          backend=backend, return_coverage=True)
@@ -145,10 +181,23 @@ def calc_drm_gmfss(
     linear: bool = False,
     backend: str = "auto",
 ) -> DrmGmfss:
-    """DRM timestep maps for the GMFSS (forward-warp) path (drm.py:110-155)."""
+    """DRM timestep maps for the GMFSS (forward-warp) path (drm.py:110-155).
+
+    ``t`` scalar or (T,) vector; see :func:`calc_drm_rife` for the folded
+    batched-t contract.
+    """
     drm10, drm12 = _ratio_maps(flow10, flow12, eps=0.0)
-    drm1t_t01 = _retime(drm12, t, linear)
-    drm1t_t12 = _retime(drm10, t, linear)
+    if _is_batched_t(t):
+        T = t.shape[0]
+        drm1t_t01 = _retime_batched(drm12, t, linear)
+        drm1t_t12 = _retime_batched(drm10, t, linear)
+        flow10 = _tile_t(flow10, T)
+        flow12 = _tile_t(flow12, T)
+        metric10 = None if metric10 is None else _tile_t(metric10, T)
+        metric12 = None if metric12 is None else _tile_t(metric12, T)
+    else:
+        drm1t_t01 = _retime(drm12, t, linear)
+        drm1t_t12 = _retime(drm10, t, linear)
     drm0t_u = 1.0 - drm1t_t01
     drm2t_u = 1.0 - drm1t_t12
 
@@ -178,11 +227,20 @@ def calc_drm_rife_auxiliary(
     """DRM maps for the auxiliary RIFE inside GMFSS_UNION (drm.py:158-195).
 
     Same as :func:`calc_drm_rife` but metric-weighted ('soft') warping when
-    metrics are available.
+    metrics are available. ``t`` scalar or (T,) vector (folded batch).
     """
     drm10, drm12 = _ratio_maps(flow10, flow12, eps=1e-4)
-    drm_t0 = _retime(drm10, t, linear)
-    drm_t1 = _retime(drm12, t, linear)
+    if _is_batched_t(t):
+        T = t.shape[0]
+        drm_t0 = _retime_batched(drm10, t, linear)
+        drm_t1 = _retime_batched(drm12, t, linear)
+        flow10 = _tile_t(flow10, T)
+        flow12 = _tile_t(flow12, T)
+        metric10 = None if metric10 is None else _tile_t(metric10, T)
+        metric12 = None if metric12 is None else _tile_t(metric12, T)
+    else:
+        drm_t0 = _retime(drm10, t, linear)
+        drm_t1 = _retime(drm12, t, linear)
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
     w01, m01 = softsplat(drm_t1, flow10 * drm_t1, metric10, mode,

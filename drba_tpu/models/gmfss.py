@@ -34,7 +34,10 @@ def _select_reuse(left, a: Reuse, b: Reuse) -> Reuse:
 
 def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse,
                   linear, backend):
-    """One timestep of the DRBA window (models/gmfss.py:47-66)."""
+    """One timestep of the DRBA window (models/gmfss.py:47-66).
+
+    vmap-safe single-t variant kept for callers that cannot fold the t axis;
+    they must use a vmappable splat backend (not 'stencil')."""
     tt = jnp.where(t < 1, 1 - t, t - 1)
     drm = calc_drm_gmfss(
         tt, reuse10.flow01, reuse12.flow01, reuse10.metric0, reuse12.metric0,
@@ -54,21 +57,47 @@ def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse,
 @functools.partial(jax.jit, static_argnames=("linear", "backend"))
 def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
                  linear, backend="auto"):
-    fn = functools.partial(
-        _interp_one_t, p, I0=I0, I1=I1, I2=I2, reuse10=reuse10, reuse12=reuse12,
+    """All T timesteps as ONE batched program, T folded into the batch axis.
+
+    Explicit batching (not vmap) so the T GridNet/conv evaluations run as one
+    batched network call and the Pallas splat kernel is never vmapped (it
+    indexes scratch by ``pl.program_id``; see ops/splat_stencil.py). Inputs
+    are single-sample (N=1); outputs are (T, H, W, 3).
+    """
+    T = ts.shape[0]
+    tt = jnp.where(ts < 1, 1 - ts, ts - 1)
+    drm = calc_drm_gmfss(
+        tt, reuse10.flow01, reuse12.flow01, reuse10.metric0, reuse12.metric0,
         linear=linear, backend=backend,
-    )
-    return jax.vmap(lambda t: fn(t))(ts)
+    )  # folded (T, h/2, w/2, 1) maps
+    left = (ts < 1)[:, None, None, None]
+    imgB = jnp.where(left, I0, I2)  # (T, H, W, 3)
+    I1b = jnp.broadcast_to(I1, (T,) + I1.shape[1:])
+    reuse = _select_reuse(left, reuse10, reuse12)
+    t0 = jnp.where(left, drm.drm1t_t01, drm.drm1t_t12)
+    t1 = jnp.where(left, drm.drm0t_t01, drm.drm2t_t12)
 
-
-def _ts_one(p: GmfssParams, t, I0, I1, reuse: Reuse, backend):
-    out = gmfss_inference(p, I0, I1, reuse, t, 1 - t, backend=backend)
-    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
+    out = gmfss_inference(p, I1b, imgB, reuse, t0.astype(I1.dtype),
+                          t1.astype(I1.dtype), backend=backend)
+    tb = ts[:, None, None, None]
+    out = jnp.where(tb == 0, I0, jnp.where(tb == 1, I1,
+                    jnp.where(tb == 2, I2, out)))
+    return out[:, None]  # (T, 1, H, W, 3) — original per-t sample contract
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))
 def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse, backend="auto"):
-    return jax.vmap(lambda t: _ts_one(p, t, I0, I1, reuse, backend))(ts)
+    """Plain interpolation at T timesteps, T folded into the batch axis."""
+    T = ts.shape[0]
+    I0b = jnp.broadcast_to(I0, (T,) + I0.shape[1:])
+    I1b = jnp.broadcast_to(I1, (T,) + I1.shape[1:])
+    reuse_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (T,) + x.shape[1:]), reuse
+    )
+    tcol = ts[:, None, None, None].astype(I0.dtype)
+    out = gmfss_inference(p, I0b, I1b, reuse_b, tcol, 1 - tcol, backend=backend)
+    tb = ts[:, None, None, None]
+    return jnp.where(tb == 0, I0, jnp.where(tb == 1, I1, out))[:, None]
 
 
 class GMFSS:

@@ -36,6 +36,8 @@ from drba_tpu.ops.resize import resize_bilinear, scale_by
 
 def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
                   reuse10: Reuse, reuse12: Reuse, scale_list, linear, backend):
+    """vmap-safe single-t variant (callers must use a vmappable splat
+    backend, not 'stencil', and the gather warp)."""
     tt = jnp.where(t < 1, 1 - t, t - 1)
     flow10, flow12 = reuse10.flow01, reuse12.flow01
     metric10, metric12 = reuse10.metric0, reuse12.metric0
@@ -56,8 +58,6 @@ def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
     I1s = scale_by(I1, 0.5)
     IBs = scale_by(imgB, 0.5)
     ts_map = resize_bilinear(drm_rife, (I1s.shape[1], I1s.shape[2]))
-    # vmapped over t: force the gather warp (the MXU warp kernel is not
-    # vmap-safe; see ifnet._use_mxu_warp)
     rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype),
                           scale_list, warp_backend="gather")
 
@@ -68,33 +68,72 @@ def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
     return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
 
 
-@functools.partial(jax.jit, static_argnames=("scale_list", "linear", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("scale_list", "linear", "backend", "warp_backend")
+)
 def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
-                 linear, backend="auto"):
-    fn = functools.partial(
-        _interp_one_t, p, rife_params, I0=I0, I1=I1, I2=I2,
-        reuse10=reuse10, reuse12=reuse12, scale_list=scale_list, linear=linear,
+                 linear, backend="auto", warp_backend="auto"):
+    """All T timesteps as ONE batched program, T folded into the batch axis
+    (explicit batching — see models/gmfss.py). The aux RIFE runs as one
+    batched IFNet call and may use the MXU warp kernel (never possible under
+    the old per-t vmap)."""
+    T = ts.shape[0]
+    tt = jnp.where(ts < 1, 1 - ts, ts - 1)
+    flow10, flow12 = reuse10.flow01, reuse12.flow01
+    metric10, metric12 = reuse10.metric0, reuse12.metric0
+
+    drm_g = calc_drm_gmfss(tt, flow10, flow12, metric10, metric12,
+                           linear=linear, backend=backend)
+    drm_r = calc_drm_rife_auxiliary(tt, flow10, flow12, metric10, metric12,
+                                    linear=linear, backend=backend)
+
+    left = (ts < 1)[:, None, None, None]
+    imgB = jnp.where(left, I0, I2)  # (T, H, W, 3)
+    I1b = jnp.broadcast_to(I1, (T,) + I1.shape[1:])
+    reuse = _select_reuse(left, reuse10, reuse12)
+    t0 = jnp.where(left, drm_g.drm1t_t01, drm_g.drm1t_t12)
+    t1 = jnp.where(left, drm_g.drm0t_t01, drm_g.drm2t_t12)
+    drm_rife = jnp.where(left, drm_r.drm_t1_t01, drm_r.drm_t1_t12)
+
+    # auxiliary RIFE at half resolution (models/gmfss_union.py:72-74)
+    I1s = scale_by(I1b, 0.5)
+    IBs = scale_by(imgB, 0.5)
+    ts_map = resize_bilinear(drm_rife, (I1s.shape[1], I1s.shape[2]))
+    rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype),
+                          scale_list, warp_backend=warp_backend)
+
+    out = gmfss_union_inference(
+        p, I1b, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype), rife,
         backend=backend,
     )
-    return jax.vmap(lambda t: fn(t))(ts)
+    tb = ts[:, None, None, None]
+    out = jnp.where(tb == 0, I0, jnp.where(tb == 1, I1,
+                    jnp.where(tb == 2, I2, out)))
+    return out[:, None]  # (T, 1, H, W, 3) — original per-t sample contract
 
 
-def _ts_one(p, rife_params, t, I0, I1, reuse, scale_list, backend):
-    I0s = scale_by(I0, 0.5)
-    I1s = scale_by(I1, 0.5)
-    tmap = jnp.full_like(I0s[..., :1], 0.0) + t
+@functools.partial(
+    jax.jit, static_argnames=("scale_list", "backend", "warp_backend")
+)
+def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list, backend="auto",
+              warp_backend="auto"):
+    """Plain interpolation at T timesteps, T folded into the batch axis."""
+    T = ts.shape[0]
+    I0b = jnp.broadcast_to(I0, (T,) + I0.shape[1:])
+    I1b = jnp.broadcast_to(I1, (T,) + I1.shape[1:])
+    reuse_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (T,) + x.shape[1:]), reuse
+    )
+    I0s = scale_by(I0b, 0.5)
+    I1s = scale_by(I1b, 0.5)
+    tmap = jnp.full_like(I0s[..., :1], 0.0) + ts[:, None, None, None]
     rife, _ = ifnet_apply(rife_params, I0s, I1s, tmap.astype(I0s.dtype),
-                          scale_list, warp_backend="gather")
-    out = gmfss_union_inference(p, I0, I1, reuse, t, 1 - t, rife,
+                          scale_list, warp_backend=warp_backend)
+    tcol = ts[:, None, None, None].astype(I0.dtype)
+    out = gmfss_union_inference(p, I0b, I1b, reuse_b, tcol, 1 - tcol, rife,
                                 enable_mask=False, backend=backend)
-    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, out))
-
-
-@functools.partial(jax.jit, static_argnames=("scale_list", "backend"))
-def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list, backend="auto"):
-    return jax.vmap(
-        lambda t: _ts_one(p, rife_params, t, I0, I1, reuse, scale_list, backend)
-    )(ts)
+    tb = ts[:, None, None, None]
+    return jnp.where(tb == 0, I0, jnp.where(tb == 1, I1, out))[:, None]
 
 
 class GMFSS_UNION:
@@ -128,6 +167,7 @@ class GMFSS_UNION:
             self.params, self.rife_params, I0, I1,
             jnp.asarray(ts, jnp.float32), reuse, self.scale_list,
             backend=self.config.splat_backend,
+            warp_backend=self.config.warp_backend,
         )
         return [out[i] for i in range(len(ts))]
 
@@ -141,6 +181,7 @@ class GMFSS_UNION:
                 self.params, self.rife_params, I0, I1, I2,
                 jnp.asarray(ts, jnp.float32), reuse10, reuse12,
                 self.scale_list, linear, self.config.splat_backend,
+                self.config.warp_backend,
             )
             frames = [out[i] for i in range(len(ts))]
 

@@ -111,11 +111,17 @@ def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
     T = ts.shape[0]
     n, h, w, _ = I1.shape
 
-    imgB, fB, drm_map = jax.vmap(
-        lambda t: _window_inputs_one_t(
-            t, I0, I1, I2, flow10, flow12, f0, f1, f2, linear, splat_backend
-        )
-    )(ts)  # (T, N, H, W, *)
+    # batched DRM maps: calc_drm_rife folds the (T,) timestep axis into the
+    # leading axis itself (explicit batching keeps the Pallas splat kernel
+    # out of vmap; see drm._retime_batched)
+    tt = jnp.where(ts < 1, 1 - ts, ts - 1)
+    drm = calc_drm_rife(tt, flow10, flow12, linear=linear, backend=splat_backend)
+    d01 = drm.drm_t1_t01.reshape(T, n, h, w, 1)
+    d12 = drm.drm_t1_t12.reshape(T, n, h, w, 1)
+    l5 = (ts < 1)[:, None, None, None, None]
+    imgB = jnp.where(l5, I0[None], I2[None])  # (T, N, H, W, 3)
+    fB = jnp.where(l5, f0[None], f2[None])
+    drm_map = jnp.where(l5, d01, d12)
 
     def fold(x):
         return x.reshape((T * n,) + x.shape[2:])

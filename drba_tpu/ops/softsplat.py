@@ -187,11 +187,11 @@ def _splat_shift(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array
     return out.astype(ten.dtype)
 
 
-def _splat_stencil(ten: jax.Array, flow: jax.Array) -> jax.Array:
+def _splat_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array:
     """Pallas dense-stencil kernel backend (see splat_stencil.py)."""
     from drba_tpu.ops.splat_stencil import splat_nhwc_stencil
 
-    return splat_nhwc_stencil(ten, flow, radius=12)
+    return splat_nhwc_stencil(ten, flow, radius=radius)
 
 
 _BACKENDS = {
@@ -215,7 +215,9 @@ def _resolve_backend(backend: str) -> str:
     return backend
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "backend", "return_coverage"))
+@functools.partial(
+    jax.jit, static_argnames=("mode", "backend", "return_coverage", "radius")
+)
 def softsplat(
     ten: jax.Array,
     flow: jax.Array,
@@ -223,6 +225,7 @@ def softsplat(
     mode: str = "avg",
     backend: str = "auto",
     return_coverage: bool = False,
+    radius: int = 12,
 ) -> jax.Array:
     """Forward-splat ``ten`` (N,H,W,C) along ``flow`` (N,H,W,2).
 
@@ -235,6 +238,11 @@ def softsplat(
     splat's own denominator — the reference computes it with a second full
     splat call per flow (models/drm.py:139-140, models/rife.py:63-64); here
     it is free.
+
+    ``radius`` bounds the dense backends' (shift/stencil) exact displacement
+    range at THIS call's resolution; callers warping at a downscaled pyramid
+    level scale it down with the flow so physical motion coverage stays
+    constant. Ignored by the exact scatter/sort backends.
     """
     parts = mode.split("-")
     main, sub = parts[0], (parts[1] if len(parts) > 1 else None)
@@ -257,8 +265,11 @@ def softsplat(
         mexp = jnp.exp(metric.astype(compute))
         x = jnp.concatenate([x * mexp, mexp], axis=-1)
 
-    fn = _BACKENDS[_resolve_backend(backend)]
-    out = fn(x, flow)
+    name = _resolve_backend(backend)
+    if name in ("shift", "stencil"):
+        out = _BACKENDS[name](x, flow, radius=radius)
+    else:
+        out = _BACKENDS[name](x, flow)
 
     if main == "sum":
         return out.astype(ten.dtype)

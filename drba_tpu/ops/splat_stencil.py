@@ -1,13 +1,23 @@
 """Pallas dense-stencil forward-splat kernel (TPU fast path).
 
 Same math as the 'shift' backend (softsplat.py): bilinear splat decomposed
-over integer corner offsets, exact for |offset| <= radius. The (2r+1)^2
-masked shift-adds run inside one Pallas kernel over VMEM-resident planes:
-dense VPU ops only — no scatter, no gather, no materialized offset planes.
+over integer corner offsets, exact for |offset| <= radius. The masked
+shift-adds run as dense VPU ops — no scatter, no gather, no materialized
+offset planes.
 
-The kernel processes a full (P, H, W) block in VMEM; the XLA-level wrapper
-(`splat_planes_stencil`) splits large problems into haloed row-bands and
-channel blocks that fit the ~16MB VMEM budget.
+Streaming structure (v3): the kernel runs on a (plane-blocks, row-bands)
+grid. Each step double-buffer-DMAs one haloed value window
+``(Pblk, hb+2r+extra, Wpad)`` plus the four weight planes for the band from
+HBM into VMEM scratch, then accumulates the band's output block. Weight
+masks are computed once per (plane-block, band) and amortized over the whole
+plane block.
+
+Motion-adaptive bounds: the wrapper computes, per band, the integer offset
+range actually present in the flow (clipped to the radius) and prefetches it
+as scalars; the kernel skips column offsets via ``pl.when`` and row-offset
+blocks via dynamic ``fori_loop`` bounds. Cost is therefore proportional to
+the real motion magnitude — a band whose flow fits in +-2 px runs ~25 of the
+625 offset pairs; only worst-case motion pays the full stencil.
 
 All planes travel as f32 (Mosaic on v5e rejects bf16 comparisons);
 accumulation is f32.
@@ -27,72 +37,183 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _stencil_kernel(v_ref, dx_ref, dy_ref, wx_ref, wy_ref, out_ref, *, r, h_out, w_out):
-    # v_ref (P, H+2r, Wpad) f32 | weights (H+2r, Wpad) f32 | out (P, h_out, w_out) f32
-    p = v_ref.shape[0]
-
-    # fori over 8-aligned row-offset blocks (Mosaic requires sublane starts
-    # provably divisible by 8); the 8 sub-offsets and the 2r+1 column offsets
-    # are unrolled as static slices. Planes carry 8 extra bottom rows so the
-    # last aligned block load stays in bounds.
-    out_ref[...] = jnp.zeros((p, h_out, w_out), jnp.float32)
-
-    def block_body(b, _):
-        base = pl.multiple_of(b * 8, 8)
-        dy0_b = dy_ref[pl.ds(base, h_out + 8), :]
-        wy1_b = wy_ref[pl.ds(base, h_out + 8), :]
-        dx0_b = dx_ref[pl.ds(base, h_out + 8), :]
-        wx1_b = wx_ref[pl.ds(base, h_out + 8), :]
-        v_b = v_ref[:, pl.ds(base, h_out + 8), :]
-        for j in range(8):
-            # source rows start at y0 = 8b + j; row offset dyk = r - (8b+j-r)
-            y0 = base + j
-            dyk_f = (2 * r - y0).astype(jnp.float32) - r
-            valid = (y0 <= 2 * r).astype(jnp.float32)
-            dy0_j = dy0_b[j : j + h_out, :]
-            wy1_j = wy1_b[j : j + h_out, :]
-            wy = (
-                jnp.where(dy0_j == dyk_f, 1.0 - wy1_j, 0.0)
-                + jnp.where(dy0_j == dyk_f - 1, wy1_j, 0.0)
-            ) * valid
-            for dx in range(2 * r + 1):
-                dxk = dx - r
-                sl_x = slice(r - dxk, r - dxk + w_out)
-                wgt = wy[:, sl_x] * (
-                    jnp.where(dx0_b[j : j + h_out, sl_x] == dxk, 1.0 - wx1_b[j : j + h_out, sl_x], 0.0)
-                    + jnp.where(dx0_b[j : j + h_out, sl_x] == dxk - 1, wx1_b[j : j + h_out, sl_x], 0.0)
-                )
-                out_ref[...] += v_b[:, j : j + h_out, sl_x] * wgt[None]
-        return 0
-
-    num_blocks = (2 * r + 1 + 7) // 8
-    jax.lax.fori_loop(0, num_blocks, block_body, 0)
-
-
 def _align_extra(r: int) -> int:
     """Extra bottom rows so 8-aligned block loads stay in bounds."""
     return 8 * ((2 * r + 1 + 7) // 8) - 2 * r
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def _splat_band(vp, dx0p, dy0p, wx1p, wy1p, radius: int):
-    """One VMEM-resident band: vp (P, hb+2r+extra, Wpad), weights same."""
-    p, hb2, wpad = vp.shape
-    r = radius
-    h_out = hb2 - 2 * r - _align_extra(r)
-    w_out = wpad - 2 * r
-    kernel = functools.partial(_stencil_kernel, r=r, h_out=h_out, w_out=w_out)
-    return pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, h_out, w_out), jnp.float32),
-        interpret=jax.default_backend() == "cpu",
-    )(vp, dx0p, dy0p, wx1p, wy1p)
+# VMEM footprint target for one grid step's scratch + out block (bytes).
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-# VMEM budget for one band invocation (bytes), conservative vs ~16MB.
-_VMEM_BUDGET = 2500 * 1024  # Mosaic temporaries cost ~3.6x the I/O footprint
+def _choose_blocks(p: int, h: int, wpad: int, r: int) -> tuple[int, int]:
+    """Pick (plane-block, band-height) minimizing the grid-step count
+    (per-step overhead ~tens of us dominates for small-motion bands),
+    tie-breaking toward larger plane blocks (weight-compute amortization)."""
+    extra = _align_extra(r)
+
+    def vmem(pblk, hb):
+        rows = hb + 2 * r + extra
+        return (2 * pblk + 8) * rows * wpad * 4 + pblk * hb * wpad * 4
+
+    best = None
+    for hb in (64, 32, 16, 8):
+        if h % hb:
+            continue
+        # largest plane block that fits VMEM at this band height
+        pblk = None
+        for nb in range(1, p + 1):
+            cand = -(-p // nb)
+            if vmem(cand, hb) <= _VMEM_BUDGET:
+                pblk = cand
+                break
+        if pblk is None:
+            continue
+        steps = (-(-p // pblk)) * (h // hb)
+        key = (steps, -pblk)
+        if best is None or key < best[0]:
+            best = (key, (pblk, hb))
+    if best is None:
+        return 1, 8
+    return best[1]
+
+
+def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
+            n_pb, n_bands, pblk, hb, rows, r, w_out):
+    pb = pl.program_id(0)
+    b = pl.program_id(1)
+    t = pb * n_bands + b
+    total = n_pb * n_bands
+
+    def dmas(slot, tt):
+        pbb = tt // n_bands
+        bb = tt % n_bands
+        vc = pltpu.make_async_copy(
+            v_hbm.at[
+                pl.ds(pbb * pblk, pblk),
+                pl.ds(pl.multiple_of(bb * hb, 8), rows),
+                :,
+            ],
+            vwin.at[slot],
+            vsem.at[slot],
+        )
+        wc = pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(pl.multiple_of(bb * hb, 8), rows), :],
+            wwin.at[slot],
+            wsem.at[slot],
+        )
+        return vc, wc
+
+    @pl.when(t == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < total)
+    def _():
+        for c in dmas((t + 1) % 2, t + 1):
+            c.start()
+
+    slot = t % 2
+    for c in dmas(slot, t):
+        c.wait()
+
+    out_ref[...] = jnp.zeros((pblk, hb, w_out), jnp.float32)
+
+    yb_lo = bounds_ref[b, 0]
+    yb_hi = bounds_ref[b, 1]
+    dx_lo = bounds_ref[b, 2]
+    dx_hi = bounds_ref[b, 3]
+
+    # Column offsets unrolled, each predicated on the band's measured dx
+    # range; row-offset blocks iterate a dynamic (band-measured) sub-range.
+    # Mosaic requires sublane starts provably divisible by 8, hence the
+    # 8-aligned blocks with 8 statically-unrolled sub-offsets; windows carry
+    # `extra` spare bottom rows so the last aligned block load stays in
+    # bounds.
+    for dx in range(2 * r + 1):
+        dxk = dx - r
+        sl_x = slice(r - dxk, r - dxk + w_out)
+
+        @pl.when((dx_lo <= dxk) & (dxk <= dx_hi))
+        def _(dxk=dxk, sl_x=sl_x):
+            def block_body(b8, _):
+                base = pl.multiple_of(b8 * 8, 8)
+                # one lane-rotate per (dx, block), amortized over the 8 js
+                vsb = vwin[slot, :, pl.ds(base, hb + 8), sl_x]
+                dx0b = wwin[slot, 0, pl.ds(base, hb + 8), sl_x]
+                dy0b = wwin[slot, 1, pl.ds(base, hb + 8), sl_x]
+                wx1b = wwin[slot, 2, pl.ds(base, hb + 8), sl_x]
+                wy1b = wwin[slot, 3, pl.ds(base, hb + 8), sl_x]
+                cw = jnp.where(dx0b == dxk, 1.0 - wx1b, 0.0) + jnp.where(
+                    dx0b == dxk - 1, wx1b, 0.0
+                )
+                for j in range(8):
+                    # source rows start at y0 = 8*b8 + j; row offset r - y0
+                    y0 = base + j
+                    dyk_f = (2 * r - y0).astype(jnp.float32) - r
+                    valid = (y0 <= 2 * r).astype(jnp.float32)
+                    wy = (
+                        jnp.where(dy0b[j : j + hb, :] == dyk_f, 1.0 - wy1b[j : j + hb, :], 0.0)
+                        + jnp.where(dy0b[j : j + hb, :] == dyk_f - 1, wy1b[j : j + hb, :], 0.0)
+                    ) * valid
+                    out_ref[...] += vsb[:, j : j + hb, :] * (wy * cw[j : j + hb, :])[None]
+                return 0
+
+            jax.lax.fori_loop(yb_lo, yb_hi, block_body, 0)
+
+
+def _band_bounds(dx0, dy0, h, hb, rows, r):
+    """Per-band offset bounds (int32 (n_bands, 4)): row-offset 8-block range
+    [yb_lo, yb_hi) and column offset range [dx_lo, dx_hi] actually present in
+    the band's haloed source window, clipped to the stencil radius."""
+    n_bands = h // hb
+    hp = dx0.shape[0]
+    n_chunks = hp // hb  # hp is padded to a multiple of hb by the caller
+    big = jnp.float32(1e9)
+
+    # a pixel contributes via corners at offsets (d, d+1): live iff any
+    # corner lands within the stencil radius
+    live = (
+        (dx0 >= -(r + 1)) & (dx0 <= r) & (dy0 >= -(r + 1)) & (dy0 <= r)
+    )
+    dx_m_lo = jnp.where(live, dx0, big).reshape(n_chunks, hb * dx0.shape[1])
+    dx_m_hi = jnp.where(live, dx0, -big).reshape(n_chunks, -1)
+    dy_m_lo = jnp.where(live, dy0, big).reshape(n_chunks, -1)
+    dy_m_hi = jnp.where(live, dy0, -big).reshape(n_chunks, -1)
+    c_dx_lo = dx_m_lo.min(axis=1)
+    c_dx_hi = dx_m_hi.max(axis=1)
+    c_dy_lo = dy_m_lo.min(axis=1)
+    c_dy_hi = dy_m_hi.max(axis=1)
+
+    # band b's window covers chunks [b, b + nw)
+    nw = -(-rows // hb)
+    idx = jnp.arange(n_bands)[:, None] + jnp.arange(nw)[None, :]
+    idx = jnp.minimum(idx, n_chunks - 1)
+    b_dx_lo = c_dx_lo[idx].min(axis=1)
+    b_dx_hi = c_dx_hi[idx].max(axis=1)
+    b_dy_lo = c_dy_lo[idx].min(axis=1)
+    b_dy_hi = c_dy_hi[idx].max(axis=1)
+
+    empty = b_dx_lo > b_dx_hi
+    dx_lo = jnp.clip(b_dx_lo, -r, r).astype(jnp.int32)
+    dx_hi = jnp.clip(b_dx_hi + 1, -r, r).astype(jnp.int32)
+    # corner offsets dyk in [dy_lo, dy_hi + 1] -> window y0 = r - dyk
+    dy_lo = jnp.clip(b_dy_lo, -r, r).astype(jnp.int32)
+    dy_hi = jnp.clip(b_dy_hi + 1, -r, r).astype(jnp.int32)
+    yb_lo = (r - dy_hi) // 8
+    yb_hi = (r - dy_lo) // 8 + 1
+    z = jnp.zeros_like(dx_lo)
+    bounds = jnp.stack(
+        [
+            jnp.where(empty, z, yb_lo),
+            jnp.where(empty, z, yb_hi),
+            jnp.where(empty, z + 1, dx_lo),
+            jnp.where(empty, z, dx_hi),
+        ],
+        axis=1,
+    )
+    return bounds.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -100,6 +221,7 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
     """Splat (P, H, W) value planes along ``flow`` (H, W, 2) -> (P, H, W) f32."""
     p, h, w = planes.shape
     r = radius
+    extra = _align_extra(r)
     wpad = _round_up(w + 2 * r, 128)
 
     gx = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -118,57 +240,62 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
     wx1 = fx - x0
     wy1 = fy - y0
 
-    extra = _align_extra(r)
+    pblk, hb = _choose_blocks(p, h, wpad, r)
+    rows = hb + 2 * r + extra
+    # pad rows so both the last band's haloed window and the bounds
+    # chunking stay in range: r top, then up to a multiple of hb
+    row_pad_hi = _round_up(h + 2 * r + extra, hb) - h - r
 
     def pad2(x, fill):
-        return jnp.pad(x, ((r, r + extra), (r, wpad - w - r)), constant_values=fill)
+        return jnp.pad(x, ((r, row_pad_hi), (r, wpad - w - r)), constant_values=fill)
 
     dx0p = pad2(dx0, big)
     dy0p = pad2(dy0, big)
-    wx1p = pad2(wx1, 0)
-    wy1p = pad2(wy1, 0)
-    vpad = jnp.pad(planes.astype(jnp.float32), ((0, 0), (r, r + extra), (r, wpad - w - r)))
+    # one stacked weight tensor -> one DMA per band
+    wstack = jnp.stack([dx0p, dy0p, pad2(wx1, 0.0), pad2(wy1, 0.0)])
+    bounds = _band_bounds(dx0p, dy0p, h, hb, rows, r)
 
-    # choose band height + channel block so one band fits the VMEM budget
-    per_row_bytes = wpad * (4 + 4)  # value f32 + out f32 per plane-row
-    weight_row_bytes = wpad * 4 * 4
-    def fits(pc_, hb_):
-        return pc_ * hb_ * per_row_bytes + hb_ * weight_row_bytes <= _VMEM_BUDGET
+    ppad = -(-p // pblk) * pblk
+    vpad = jnp.pad(
+        planes.astype(jnp.float32),
+        ((0, ppad - p), (r, row_pad_hi), (r, wpad - w - r)),
+    )
 
-    pc = p
-    hb = h
-    while pc > 1 and not fits(pc, hb):
-        pc = (pc + 1) // 2
-    if not fits(pc, hb):
-        # largest divisor band height that fits (h always has small factors
-        # here: frame dims are pad-aligned)
-        for cand in range(h, 0, -1):
-            if h % cand == 0 and fits(pc, cand):
-                hb = cand
-                break
-
-    outs = []
-    for p0 in range(0, p, pc):
-        rows = []
-        for y0_ in range(0, h, hb):
-            vb = jax.lax.dynamic_slice(
-                vpad, (p0, y0_, 0), (min(pc, p - p0), hb + 2 * r + extra, wpad)
-            )
-            sl = lambda a: jax.lax.dynamic_slice(a, (y0_, 0), (hb + 2 * r + extra, wpad))
-            rows.append(
-                _splat_band(vb, sl(dx0p), sl(dy0p), sl(wx1p), sl(wy1p), radius=r)
-            )
-        outs.append(jnp.concatenate(rows, axis=1))
-    out = jnp.concatenate(outs, axis=0)
-    return out[:, :, :w]
+    n_pb, n_bands = ppad // pblk, h // hb
+    kernel = functools.partial(
+        _kernel, n_pb=n_pb, n_bands=n_bands, pblk=pblk, hb=hb, rows=rows,
+        r=r, w_out=w,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pb, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((pblk, hb, w), lambda pb, b, bounds: (pb, b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, pblk, rows, wpad), jnp.float32),
+            pltpu.VMEM((2, 4, rows, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ppad, h, w), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(bounds, vpad, wstack)
+    return out[:p]
 
 
 def splat_nhwc_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array:
     """NHWC adapter: splat (N,H,W,C) along (N,H,W,2) via the stencil kernel.
 
     The batch axis maps over per-sample kernel invocations (each sample has
-    its own flow field; inside the jitted window program N is 1 and the
-    timestep axis arrives via an outer vmap)."""
+    its own flow field; batching is explicit at the model layer — this
+    kernel must NOT be vmapped, it indexes scratch by ``pl.program_id``)."""
     def one(args):
         t, f = args
         return splat_planes_stencil(jnp.moveaxis(t, -1, 0), f, radius=radius)

@@ -1,12 +1,18 @@
-"""Multi-chip window-parallel execution plans.
+"""Multi-chip window-parallel execution plans (shard_map over the mesh).
 
-Strategy (SURVEY.md §5 'distributed' checklist): the reference's reuse chain
-serializes consecutive windows, so the parallel plan **recomputes flow per
-window** (2x flow cost on the cheap coarse-flow stage) and runs W windows
-fully independently — chip k owns window k. Frames per window are already
-batched over the timestep axis, so each chip runs one fused XLA program per
-window; the only cross-chip traffic is the host scatter of decoded frames
-and the gather of finished frames, riding ICI.
+Strategy (SURVEY.md §5 'distributed' checklist): chip k owns sliding window
+k of the current group. The serial reuse chain — window k's backward
+flow/reuse IS window k-1's reversed forward result — is preserved by a
+single ``lax.ppermute`` shift to the right neighbor over ICI, so multi-chip
+output is **bit-identical to the serial pipeline**: the chain carry crosses
+group boundaries as device state held by the planner, and chain starts
+(stream head, scene cuts) recompute exactly like the serial ``reuse=None``
+path (drba_tpu/pipeline.py window_block).
+
+shard_map (not vmap) is the batching mechanism: each shard traces the
+per-window program unbatched, so the Pallas splat/warp kernels (which index
+scratch by ``pl.program_id`` and must never be vmapped) run exactly as in
+the serial path.
 """
 
 from __future__ import annotations
@@ -15,125 +21,169 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+try:
+    from jax import shard_map as _shard_map_impl
+    _CHECK_KW = "check_vma"
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+    _CHECK_KW = "check_rep"
 
-from drba_tpu.models.rife import _calc_flow, _interp_one_t
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    return _shard_map_impl(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        **{_CHECK_KW: False},
+    )
+from jax.sharding import PartitionSpec as P
+
+from drba_tpu.models.gmfss_core import Reuse, gmfss_reuse
+from drba_tpu.models.ifnet import ifnet_encode
+from drba_tpu.models.rife import _calc_flow
+from drba_tpu.models.rife import _drba_window as _rife_window
+from drba_tpu.models.gmfss import _drba_window as _gmfss_window
+from drba_tpu.models.gmfss_union import _drba_window as _union_window
 
 
-@functools.partial(jax.jit, static_argnames=("scale_list", "linear", "splat_backend"))
-def rife_windows_batched(params, I0, I1, I2, ts, scale_list, linear=True,
-                         splat_backend="auto"):
-    """Interpolate a batch of windows: I* are (B, 1, H, W, 3), ts (B, T).
+def _shift_right(x, perm):
+    """Send each shard's value to its right neighbor (shard 0 receives 0s)."""
+    return lax.ppermute(x, "data", perm)
 
-    Returns (B, T, 1, H, W, 3). Shard the leading axis over the mesh's
-    'data' axis (drba_tpu.parallel.mesh.window_sharding) before calling; jit
-    propagates the sharding through the whole program.
+
+def _swapped(r: Reuse) -> Reuse:
+    return Reuse(r.flow10, r.flow01, r.metric1, r.metric0, r.feat1, r.feat0)
+
+
+def make_window_fn(model, mesh):
+    """Bind a model wrapper to its sharded multi-window program.
+
+    Returns ``fn(I0, I1, I2, ts, carry) -> (out, carry_stack)`` where the
+    ``I*`` are (B, 1, H, W, 3) stacked consecutive windows sharded over
+    'data', ``ts`` is (B, T), ``carry`` is the replicated chain state for
+    window 0 (flow10 for rife; a reuse10-form Reuse for gmfss/union), and
+    ``carry_stack`` holds each window's outgoing chain state (B-stacked;
+    take index real-1 as the next group's carry).
     """
-
-    def one_window(i0, i1, i2, tvec):
-        flow10, _, f1, f0 = _calc_flow(params, i1, i0, scale_list[0],
-                                       splat_backend=splat_backend)
-        flow12, _, _, f2 = _calc_flow(params, i1, i2, scale_list[0], f0=f1,
-                                      splat_backend=splat_backend)
-        fn = functools.partial(
-            _interp_one_t,
-            params,
-            I0=i0, I1=i1, I2=i2,
-            flow10=flow10, flow12=flow12,
-            f0=f0, f1=f1, f2=f2,
-            scale_list=scale_list, linear=linear, splat_backend=splat_backend,
-        )
-        return jax.vmap(lambda t: fn(t))(tvec)
-
-    return jax.vmap(one_window)(I0, I1, I2, ts)
-
-
-@functools.partial(jax.jit, static_argnames=("scale", "linear", "splat_backend"))
-def gmfss_windows_batched(params, I0, I1, I2, ts, scale=1.0, linear=True,
-                          splat_backend="auto"):
-    """GMFSS window batch: I* (B, 1, H, W, 3), ts (B, T) -> (B, T, 1, H, W, 3).
-
-    Reuse-free plan: each window computes BOTH bidirectional gmflow passes
-    (the serial path reuses the previous window's reversed pair, which would
-    serialize chips); everything else matches models/gmfss.py."""
-    from drba_tpu.models.gmfss import _interp_one_t as gmfss_one_t
-    from drba_tpu.models.gmfss_core import gmfss_reuse
-
-    def one_window(i0, i1, i2, tvec):
-        reuse10 = gmfss_reuse(params, i1, i0, scale=scale, union=False)
-        reuse12 = gmfss_reuse(params, i1, i2, scale=scale, union=False)
-        return jax.vmap(
-            lambda t: gmfss_one_t(params, t, i0, i1, i2, reuse10, reuse12,
-                                  linear, splat_backend)
-        )(tvec)
-
-    return jax.vmap(one_window)(I0, I1, I2, ts)
-
-
-@functools.partial(jax.jit, static_argnames=("scale", "scale_list", "linear",
-                                             "splat_backend"))
-def union_windows_batched(params, rife_params, I0, I1, I2, ts, scale=1.0,
-                          scale_list=(16.0, 8.0, 4.0, 2.0, 1.0), linear=True,
-                          splat_backend="auto"):
-    """GMFSS_UNION window batch (aux half-res RIFE included)."""
-    from drba_tpu.models.gmfss_core import gmfss_reuse
-    from drba_tpu.models.gmfss_union import _interp_one_t as union_one_t
-
-    def one_window(i0, i1, i2, tvec):
-        reuse10 = gmfss_reuse(params, i1, i0, scale=scale, union=True)
-        reuse12 = gmfss_reuse(params, i1, i2, scale=scale, union=True)
-        return jax.vmap(
-            lambda t: union_one_t(params, rife_params, t, i0, i1, i2,
-                                  reuse10, reuse12, scale_list, linear,
-                                  splat_backend)
-        )(tvec)
-
-    return jax.vmap(one_window)(I0, I1, I2, ts)
-
-
-def make_window_fn(model):
-    """Bind a model wrapper to its batched multi-window program."""
     name = type(model).__name__
-    backend = model.config.splat_backend
+    sb = model.config.splat_backend
+    ndev = mesh.devices.size
+    perm = [(i, i + 1) for i in range(ndev - 1)]
+    pd = P("data")
+
     if name == "RIFE":
-        return lambda I0, I1, I2, ts: rife_windows_batched(
-            model.params, I0, I1, I2, ts, model.scale_list, True, backend
+        params = model.params
+        scale_list = model.scale_list
+        wb = model.config.warp_backend
+
+        def per_shard(I0, I1, I2, ts, carry):
+            i0, i1, i2, tvec = I0[0], I1[0], I2[0], ts[0]
+            f0 = ifnet_encode(params, i0[..., :3])
+            flow12, flow21, f1, f2 = _calc_flow(
+                params, i1, i2, scale_list[0], splat_backend=sb
+            )
+            prev21 = _shift_right(flow21, perm) if ndev > 1 else jnp.zeros_like(flow21)
+            idx = lax.axis_index("data")
+            flow10 = jnp.where(idx == 0, carry, prev21)
+            out = _rife_window(
+                params, i0, i1, i2, tvec, flow10, flow12, f0, f1, f2,
+                scale_list, True, sb, wb,
+            )
+            return out[None], flow21[None]
+
+        sharded = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(pd, pd, pd, pd, P()),
+            out_specs=(pd, pd),
         )
-    if name == "GMFSS":
-        return lambda I0, I1, I2, ts: gmfss_windows_batched(
-            model.params, I0, I1, I2, ts, model.scale, True, backend
+        return jax.jit(sharded)
+
+    if name in ("GMFSS", "GMFSS_UNION"):
+        params = model.params
+        scale = model.scale
+        union = name == "GMFSS_UNION"
+
+        def per_shard(I0, I1, I2, ts, carry: Reuse):
+            i0, i1, i2, tvec = I0[0], I1[0], I2[0], ts[0]
+            reuse12 = gmfss_reuse(params, i1, i2, scale=scale, union=union)
+            if ndev > 1:
+                prev12 = jax.tree_util.tree_map(
+                    lambda x: _shift_right(x, perm), reuse12
+                )
+            else:
+                prev12 = reuse12
+            prev_sw = _swapped(prev12)
+            idx = lax.axis_index("data")
+            reuse10 = jax.tree_util.tree_map(
+                lambda c, p: jnp.where(idx == 0, c, p), carry, prev_sw
+            )
+            if union:
+                out = _union_window(
+                    params, model.rife_params, i0, i1, i2, tvec,
+                    reuse10, reuse12, model.scale_list, True, sb,
+                    model.config.warp_backend,
+                )
+            else:
+                out = _gmfss_window(
+                    params, i0, i1, i2, tvec, reuse10, reuse12, True, sb
+                )
+            carry_out = _swapped(reuse12)
+            return out[None], jax.tree_util.tree_map(lambda x: x[None], carry_out)
+
+        sharded = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(pd, pd, pd, pd, P()),
+            out_specs=(pd, pd),
         )
-    if name == "GMFSS_UNION":
-        return lambda I0, I1, I2, ts: union_windows_batched(
-            model.params, model.rife_params, I0, I1, I2, ts, model.scale,
-            model.scale_list, True, backend
-        )
-    raise ValueError(f"no batched window plan for model {name}")
+        return jax.jit(sharded)
+
+    raise ValueError(f"no sharded window plan for model {name}")
 
 
 class WindowPlanner:
-    """Groups sequential windows into device-count batches.
+    """Groups consecutive windows into device-count batches and threads the
+    serial reuse chain through them.
 
     Emission order is preserved: frames of window k are yielded before those
     of window k+1. Tail windows (< batch) pad by repeating the last window
-    and dropping its output.
+    and dropping their output. ``reset_chain()`` must be called whenever the
+    stream's reuse chain breaks (scene-cut / serial windows) — it mirrors the
+    serial pipeline's ``reuse = None``.
     """
 
     def __init__(self, mesh, model, ts_bucket: int):
         self.mesh = mesh
-        self.window_fn = make_window_fn(model)
+        self.model = model
+        self.window_fn = make_window_fn(model, mesh)
         self.ts_bucket = ts_bucket
         self.batch = mesh.devices.size
+        self._carry = None
+
+    def reset_chain(self):
+        self._carry = None
+
+    def _chain_start_carry(self, window):
+        """Fresh chain state for the group's first window — the same compute
+        the serial path runs when ``reuse is None``."""
+        I0, I1, _I2, _ts = window
+        if type(self.model).__name__ == "RIFE":
+            flow10, _flow01, _f1, _f0 = self.model._calc_flow(I1, I0)
+            return flow10
+        return self.model.reuse(I1, I0)
 
     def run(self, windows):
-        """windows: list of (I0, I1, I2, ts_array). Yields per-window frame
-        lists (device arrays, trimmed to the real ts count)."""
-        from drba_tpu.parallel.mesh import shard_batch
+        """windows: list of CONSECUTIVE (I0, I1, I2, ts_array) stream windows.
+        Yields per-window frame lists (device arrays, trimmed to the real ts
+        count)."""
+        from drba_tpu.parallel.mesh import replicated, shard_batch
 
         for start in range(0, len(windows), self.batch):
             group = windows[start : start + self.batch]
             real = len(group)
             while len(group) < self.batch:
                 group.append(group[-1])
+
+            if self._carry is None:
+                self._carry = self._chain_start_carry(group[0])
 
             counts = [len(g[3]) for g in group]
             T = self.ts_bucket
@@ -147,7 +197,14 @@ class WindowPlanner:
             I1 = jnp.stack([g[1] for g in group])
             I2 = jnp.stack([g[2] for g in group])
             I0, I1, I2, ts = shard_batch(self.mesh, (I0, I1, I2, ts))
+            rep = replicated(self.mesh)
+            carry = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), self._carry
+            )
 
-            out = self.window_fn(I0, I1, I2, ts)
+            out, carry_stack = self.window_fn(I0, I1, I2, ts, carry)
+            self._carry = jax.tree_util.tree_map(
+                lambda x: x[real - 1], carry_stack
+            )
             for b in range(real):
                 yield [out[b, t] for t in range(counts[b])]

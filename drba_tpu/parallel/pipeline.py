@@ -16,10 +16,10 @@ Host I/O overlaps compute: decode+upload runs in a prefetch thread and
 download+encode in an emitter thread (the same _Prefetcher/_Emitter as the
 serial pipeline) — on this relay host transfers are the scarce resource.
 
-Output note (documented deviation): the reuse-free plan recomputes each
-window's backward flow instead of reusing the previous window's reversed
-pair, so multi-device output differs from serial within numerical tolerance
-(flow estimation is not direction-symmetric).
+Output parity: the per-window reuse chain is preserved across chips by a
+``lax.ppermute`` neighbor exchange (see parallel/batch.py), so multi-device
+output is bit-identical to the serial pipeline; chain breaks (scene cuts,
+serial windows) reset the carry exactly like serial ``reuse = None``.
 """
 
 from __future__ import annotations
@@ -104,6 +104,9 @@ def run_pipeline_parallel(
                 batch_group.append(payload)
             else:
                 drain_batch()
+                # scene-cut/serial windows break the reuse chain exactly like
+                # the serial pipeline's ``reuse = None``
+                planner.reset_chain()
                 emit_window(payload)
         drain_batch()
         entries.clear()

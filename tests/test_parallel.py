@@ -7,55 +7,62 @@ import jax.numpy as jnp
 
 from drba_tpu.config import F32
 from drba_tpu.models.rife import RIFE
-from drba_tpu.parallel.batch import WindowPlanner, rife_windows_batched
-from drba_tpu.parallel.mesh import make_mesh, shard_batch, window_sharding
+from drba_tpu.parallel.batch import WindowPlanner
+from drba_tpu.parallel.mesh import make_mesh
+
+
+def _roll_frames(n, h, w, seed=0, shift=3):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    return [jnp.asarray(np.roll(base, shift * i, axis=2)) for i in range(n)]
 
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
-def test_batched_windows_sharded_matches_serial():
+def test_sharded_windows_bit_match_serial_chain():
+    """The ppermute reuse-chain exchange makes the sharded plan reproduce the
+    serial reuse-chained pipeline output exactly."""
     model = RIFE(weights=None, scale=1.0, config=F32)
-    mesh = make_mesh(8)
-    rng = np.random.default_rng(0)
+    mesh = make_mesh(4)
     h, w = 64, 64
-    B, T = 8, 2
-    I0 = jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
-    I1 = jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
-    I2 = jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
-    ts = jnp.tile(jnp.asarray([[0.5, 1.5]], jnp.float32), (B, 1))
+    B = 4
+    frames = _roll_frames(B + 2, h, w)
+    ts = np.asarray([0.5, 1.5], np.float32)
+    windows = [(frames[k], frames[k + 1], frames[k + 2], ts) for k in range(B)]
 
     with mesh:
-        sI0, sI1, sI2, sts = shard_batch(mesh, (I0, I1, I2, ts))
-        sharded = rife_windows_batched(model.params, sI0, sI1, sI2, sts, model.scale_list, True)
-        sharded.block_until_ready()
-    # output stays batch-sharded on the data axis (no implicit all-gather)
-    assert len(sharded.sharding.device_set) == 8
+        planner = WindowPlanner(mesh, model, ts_bucket=2)
+        sharded = list(planner.run(windows))
 
-    # single-device serial result (reuse-free path) must agree
-    serial = rife_windows_batched(model.params, I0, I1, I2, ts, model.scale_list, True)
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial), atol=1e-5)
+    # serial reference: the reuse-chained model API
+    reuse = None
+    for k in range(B):
+        out, reuse = model.inference_ts_drba(
+            frames[k], frames[k + 1], frames[k + 2], ts, reuse, linear=True
+        )
+        for a, b in zip(sharded[k], out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_window_planner_order_and_trim():
     model = RIFE(weights=None, scale=1.0, config=F32)
     mesh = make_mesh(4)
-    planner = WindowPlanner(mesh, model, ts_bucket=3)
-    rng = np.random.default_rng(1)
     h, w = 64, 64
 
-    def win(seed, nts):
-        r = np.random.default_rng(seed)
-        mk = lambda: jnp.asarray(r.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
-        return (mk(), mk(), mk(), np.linspace(0.5, 1.4, nts))
-
-    windows = [win(i, 2 + i % 2) for i in range(6)]  # 6 windows over 4 devices
-    outs = list(planner.run(windows))
+    frames = _roll_frames(8, h, w, seed=1)
+    windows = [
+        (frames[i], frames[i + 1], frames[i + 2], np.linspace(0.5, 1.4, 2 + i % 2))
+        for i in range(6)
+    ]  # 6 windows over 4 devices
+    with mesh:
+        planner = WindowPlanner(mesh, model, ts_bucket=3)
+        outs = list(planner.run(windows))
     assert len(outs) == 6
-    for i, frames in enumerate(outs):
-        assert len(frames) == 2 + i % 2
-        for f in frames:
+    for i, frames_out in enumerate(outs):
+        assert len(frames_out) == 2 + i % 2
+        for f in frames_out:
             assert f.shape == (1, h, w, 3)
 
 
@@ -73,29 +80,29 @@ def test_graft_entry_contract():
     mod.dryrun_multichip(8)
 
 
-def test_gmfss_windows_batched_sharded_matches_serial():
-    """Quality-path window batch over the mesh == unsharded program."""
+def test_gmfss_sharded_windows_bit_match_serial_chain():
+    """Quality-path sharded plan == serial reuse-chained model output."""
     from drba_tpu.models.gmfss import GMFSS
-    from drba_tpu.parallel.batch import gmfss_windows_batched
 
     model = GMFSS(weights=None, scale=1.0, config=F32)
     mesh = make_mesh(2)
-    rng = np.random.default_rng(2)
     h, w = 128, 192
-    B, T = 2, 2
-    mk = lambda: jnp.asarray(rng.uniform(0, 1, (B, 1, h, w, 3)).astype(np.float32))
-    I0, I1, I2 = mk(), mk(), mk()
-    ts = jnp.tile(jnp.asarray([[0.5, 1.5]], jnp.float32), (B, 1))
+    B = 2
+    frames = _roll_frames(B + 2, h, w, seed=2)
+    ts = np.asarray([0.5, 1.5], np.float32)
+    windows = [(frames[k], frames[k + 1], frames[k + 2], ts) for k in range(B)]
 
     with mesh:
-        sI0, sI1, sI2, sts = shard_batch(mesh, (I0, I1, I2, ts))
-        sharded = gmfss_windows_batched(model.params, sI0, sI1, sI2, sts, 1.0, True)
-        sharded.block_until_ready()
-    assert sharded.shape == (B, T, 1, h, w, 3)
-    assert len(sharded.sharding.device_set) == 2
+        planner = WindowPlanner(mesh, model, ts_bucket=2)
+        sharded = list(planner.run(windows))
 
-    serial = gmfss_windows_batched(model.params, I0, I1, I2, ts, 1.0, True)
-    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial), atol=1e-5)
+    reuse = None
+    for k in range(B):
+        out, reuse = model.inference_ts_drba(
+            frames[k], frames[k + 1], frames[k + 2], ts, reuse, linear=True
+        )
+        for a, b in zip(sharded[k], out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_parallel_pipeline_scdet(tmp_path):
