@@ -236,8 +236,12 @@ def _window_attention(q, k, v, num_splits: int, h: int, w: int, with_shift: bool
     if with_shift:
         mask = jnp.asarray(_shift_window_mask(h, w, num_splits))  # (k^2, L, L)
         scores = scores + jnp.tile(mask, (b, 1, 1))
-    attn = jax.nn.softmax(scores, axis=-1).astype(vs.dtype)
-    out = jnp.einsum("blm,bmc->blc", attn, vs, preferred_element_type=jnp.float32).astype(vs.dtype)
+    # keep the softmax output f32 into the value einsum: a bf16 cast between
+    # them blocks XLA's softmax+matmul fusion and materializes the full score
+    # tensor (measured 15x slower on this TPU stack)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("blm,bmc->blc", attn, vs.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(vs.dtype)
     out = merge_windows(out.reshape(bkk, wh, ww, c), num_splits)
     if with_shift:
         out = jnp.roll(out, (sh, sw), axis=(1, 2))
@@ -251,8 +255,10 @@ def _full_attention(q, k, v):
     kf = k.reshape(b, h * w, c)
     vf = v.reshape(b, h * w, c)
     scores = jnp.einsum("blc,bmc->blm", qf, kf, preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
-    return jnp.einsum("blm,bmc->blc", attn, vf, preferred_element_type=jnp.float32).astype(vf.dtype).reshape(b, h, w, c)
+    # f32 softmax straight into the einsum — see _window_attention note
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("blm,bmc->blc", attn, vf.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(vf.dtype).reshape(b, h, w, c)
 
 
 def _transformer_layer(p: Params, base: str, source, target, num_splits: int,
@@ -375,8 +381,10 @@ def flow_prop_global(p: Params, feature0, flow):
     scores = jnp.einsum(
         "blc,bmc->blm", q, k, preferred_element_type=jnp.float32
     ) / math.sqrt(c)
-    prob = jax.nn.softmax(scores, axis=-1).astype(flow.dtype)
-    out = jnp.einsum("blm,bmc->blc", prob, flow.reshape(b, h * w, 2),
+    # f32 softmax straight into the einsum — see _window_attention note
+    prob = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("blm,bmc->blc", prob,
+                     flow.reshape(b, h * w, 2).astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return out.reshape(b, h, w, 2).astype(flow.dtype)
 

@@ -115,7 +115,8 @@ class GMFSS:
         self.pad_size = 64
         self.config = config
         self._reuse_jit = jax.jit(
-            functools.partial(gmfss_reuse, scale=self.scale, union=False)
+            functools.partial(gmfss_reuse, scale=self.scale, union=False,
+                              warp_backend=config.warp_backend)
         )
 
     def reuse(self, img0, img1) -> Reuse:

@@ -49,7 +49,8 @@ class Reuse(NamedTuple):
                      self.feat1, self.feat0)
 
 
-def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False) -> Reuse:
+def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False,
+                warp_backend: str = "auto") -> Reuse:
     """Precompute flow, metrics and feature pyramids (GMFSS.py:58-81)."""
     feat0 = featurenet_apply(p.feat_ext, img0)
     feat1 = featurenet_apply(p.feat_ext, img1)
@@ -72,7 +73,8 @@ def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False) -
         flow10 = resize_bilinear(flow10, size) / scale
 
     metric0, metric1 = metricnet_apply(
-        p.metricnet, img0h, img1h, flow01, flow10, union=union
+        p.metricnet, img0h, img1h, flow01, flow10, union=union,
+        warp_backend=warp_backend,
     )
     return Reuse(flow01, flow10, metric0, metric1, feat0, feat1)
 

@@ -55,15 +55,86 @@ def _fb_consistency(flow01, flow10, alpha=0.01, beta=0.5):
     return (diff_fwd > thresh).astype(flow01.dtype), (diff_bwd > thresh).astype(flow10.dtype)
 
 
-def metricnet_apply(p: Params, img0, img1, flow01, flow10, union: bool = False):
-    """MetricNet.forward (model_gmfss/MetricNet.py:44-65)."""
-    m0 = jnp.mean(
-        jnp.abs(img0 - backwarp(img1, flow01, padding_mode="zeros")), axis=-1, keepdims=True
-    )
-    m1 = jnp.mean(
-        jnp.abs(img1 - backwarp(img0, flow10, padding_mode="zeros")), axis=-1, keepdims=True
-    )
-    fwd_occ, bwd_occ = _fb_consistency(flow01, flow10)
+def _zeros_coverage(flow):
+    """Bilinear in-bounds weight of a zeros-padding warp: (N,H,W,2)->(N,H,W,1)."""
+    n, h, w, _ = flow.shape
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    px = gx + flow[..., 0].astype(jnp.float32)
+    py = gy + flow[..., 1].astype(jnp.float32)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+
+    def inx(x):
+        return ((x >= 0) & (x <= w - 1)).astype(jnp.float32)
+
+    def iny(y):
+        return ((y >= 0) & (y <= h - 1)).astype(jnp.float32)
+
+    vx = (1 - wx) * inx(x0) + wx * inx(x0 + 1)
+    vy = (1 - wy) * iny(y0) + wy * iny(y0 + 1)
+    return (vx * vy)[..., None]
+
+
+def _use_mxu(h: int, w: int, warp_backend: str) -> bool:
+    from drba_tpu.models.ifnet import _use_mxu_warp
+
+    return _use_mxu_warp(warp_backend, h, w)
+
+
+def _warp2_zeros(a, b, fa, fb, use_mxu: bool):
+    """Warp ``a`` by ``fa`` and ``b`` by ``fb`` (zeros padding) as ONE
+    batched program — gather cost is per-index on this stack, so packing the
+    four MetricNet warps into one two-sample call halves it; the MXU window
+    kernel path costs ~1/4 of the gather.
+
+    MXU note: the kernel samples with border clamping; multiplying by the
+    analytic bilinear in-bounds weight reproduces zeros padding exactly
+    except at pixels whose 4-tap square straddles the frame edge (clamped
+    edge values vs dropped taps) — a boundary-row approximation on the
+    metric inputs only.
+    """
+    n = a.shape[0]
+    both = jnp.concatenate([a, b], axis=0)
+    flows = jnp.concatenate([fa, fb], axis=0)
+    if use_mxu:
+        from drba_tpu.ops.warp_mxu import backwarp_mxu
+
+        out = backwarp_mxu(both, flows) * _zeros_coverage(flows).astype(both.dtype)
+    else:
+        out = backwarp(both, flows, padding_mode="zeros")
+    return out[:n], out[n:]
+
+
+def metricnet_apply(p: Params, img0, img1, flow01, flow10, union: bool = False,
+                    warp_backend: str = "auto"):
+    """MetricNet.forward (model_gmfss/MetricNet.py:44-65).
+
+    The reference's four separate backward warps (two image occlusion
+    metrics + the forward/backward consistency check's flow warps,
+    MetricNet.py:46-52 / gmflow/geometry.py:87-108) are packed into one
+    two-sample batched warp call.
+    """
+    h, w = img0.shape[1], img0.shape[2]
+    pk1 = jnp.concatenate([img1, flow10.astype(img1.dtype)], axis=-1)
+    pk0 = jnp.concatenate([img0, flow01.astype(img0.dtype)], axis=-1)
+    w1p, w0p = _warp2_zeros(pk1, pk0, flow01, flow10,
+                            _use_mxu(h, w, warp_backend))
+    warped_img1, warped_bwd = w1p[..., :3], w1p[..., 3:5]
+    warped_img0, warped_fwd = w0p[..., :3], w0p[..., 3:5]
+
+    m0 = jnp.mean(jnp.abs(img0 - warped_img1), axis=-1, keepdims=True)
+    m1 = jnp.mean(jnp.abs(img1 - warped_img0), axis=-1, keepdims=True)
+
+    # forward/backward consistency on the already-warped flows
+    mag = flow_distance(flow01).astype(jnp.float32) + flow_distance(flow10).astype(jnp.float32)
+    diff_fwd = flow_distance(flow01 + warped_bwd.astype(flow01.dtype)).astype(jnp.float32)
+    diff_bwd = flow_distance(flow10 + warped_fwd.astype(flow10.dtype)).astype(jnp.float32)
+    thresh = 0.01 * mag + 0.5
+    fwd_occ = (diff_fwd > thresh).astype(flow01.dtype)
+    bwd_occ = (diff_bwd > thresh).astype(flow10.dtype)
 
     h, w = flow01.shape[1], flow01.shape[2]
     def norm_flow(f):

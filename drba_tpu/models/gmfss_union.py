@@ -153,7 +153,8 @@ class GMFSS_UNION:
         self.pad_size = 128
         self.config = config
         self._reuse_jit = jax.jit(
-            functools.partial(gmfss_reuse, scale=self.scale, union=True)
+            functools.partial(gmfss_reuse, scale=self.scale, union=True,
+                              warp_backend=config.warp_backend)
         )
 
     def reuse(self, img0, img1) -> Reuse:

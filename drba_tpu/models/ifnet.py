@@ -121,9 +121,11 @@ def _use_mxu_warp(warp_backend: str, h: int, w: int, wh: int = 32, ww: int = 384
 
     NOTE: the MXU kernel reads ``pl.program_id`` for its scalar-prefetch
     indexing, so it must never be traced under ``vmap`` — callers batch
-    explicitly (see rife._drba_window).
+    explicitly (see rife._drba_window). Non-lane-multiple widths are
+    edge-padded inside the kernel wrapper, so only H-alignment and a minimum
+    extent are required here.
     """
-    shapes_ok = h % 8 == 0 and w % 128 == 0 and w >= ww and h >= wh
+    shapes_ok = h % 8 == 0 and h >= wh and (w + 127) // 128 * 128 >= ww
     if warp_backend == "mxu":
         return shapes_ok
     if warp_backend == "auto":

@@ -183,19 +183,19 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
 def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
     """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
 
-    Requires H % 8 == 0, W % 128 == 0 and W >= ww (the caller falls back to
-    ops.warp.backwarp otherwise). ``wh`` must be a multiple of 16 so the
-    in-kernel (C*WH, WW) view stays layout-free in bf16; ``ww`` a multiple
-    of 128.
+    Requires H % 8 == 0 and W >= ww - 128 (the caller falls back to
+    ops.warp.backwarp otherwise); any W is supported — non-lane-multiple
+    widths are edge-padded internally, which preserves exact border-clamp
+    semantics because sample positions are clamped to the TRUE extent first.
+    ``wh`` must be a multiple of 16 so the in-kernel (C*WH, WW) view stays
+    layout-free in bf16; ``ww`` a multiple of 128.
     """
-    bsz, h, w, _ = img.shape
+    _, h, w, _ = img.shape
     gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     px = gx + flow[..., 0].astype(jnp.float32)
     py = gy + flow[..., 1].astype(jnp.float32)
-    img_chw = jnp.transpose(img, (0, 3, 1, 2))
-    out = _sample_chw(img_chw, px, py, wh, ww)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return sample_positions_mxu(img, px, py, wh, ww)
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
@@ -205,16 +205,23 @@ def sample_positions_mxu(img: jax.Array, px: jax.Array, py: jax.Array,
     border clamping -> (B,Ho,Wo,C). The output grid is arbitrary — the
     tap-fused warp+downsample uses a strided tap grid (see ifnet.py). ``Wo``
     is padded to a lane multiple internally (edge-replicated positions) and
-    sliced back.
+    sliced back; a non-lane-multiple image W is edge-padded (positions are
+    clamped to the true extent first, so border semantics are exact).
     """
     bsz, h, w, c = img.shape
     _, ho, wo = px.shape
+    # clamp to the TRUE image extent before any padding
+    px = jnp.clip(px.astype(jnp.float32), 0.0, w - 1)
+    py = jnp.clip(py.astype(jnp.float32), 0.0, h - 1)
+    w_pad = (w + TW - 1) // TW * TW
+    if w_pad != w:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)), mode="edge")
     wo_pad = (wo + TW - 1) // TW * TW
     if wo_pad != wo:
         px = jnp.pad(px, ((0, 0), (0, 0), (0, wo_pad - wo)), mode="edge")
         py = jnp.pad(py, ((0, 0), (0, 0), (0, wo_pad - wo)), mode="edge")
     img_chw = jnp.transpose(img, (0, 3, 1, 2))
-    out = _sample_chw(img_chw, px, py, wh, ww)
+    out = _sample_chw(img_chw, px, py, wh, min(ww, w_pad))
     return jnp.transpose(out, (0, 2, 3, 1))[:, :, :wo, :]
 
 

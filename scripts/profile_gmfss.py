@@ -101,16 +101,17 @@ def main():
         return _warp_pyramid(I1h3, feat3, F1t, Z1t, backend="auto")[0]
     timeit("warp_pyramid x3ts (one side)", jax.jit(wp))
 
-    # gridnet x3 (batched)
-    f1 = feat3
-    def gn():
-        x = jnp.concatenate([I1h3 * scales, I1h3, jnp.broadcast_to(I0h, I1h3.shape),
-                             jnp.broadcast_to(I0h, I1h3.shape) * scales], axis=-1)
-        x1 = jnp.concatenate([f1[0], f1[0]], axis=-1)
-        x2 = jnp.concatenate([f1[1], f1[1]], axis=-1)
-        x3 = jnp.concatenate([f1[2], f1[2]], axis=-1)
-        return gridnet_apply(p.fusionnet, x, x1, x2, x3)
-    timeit("gridnet x3ts", jax.jit(gn))
+    # gridnet x3 (batched; arrays passed as args so the compile request
+    # doesn't inline them as constants)
+    def gn(fusion, I1h3, I0h3, scales, f1, f2, f3):
+        x = jnp.concatenate([I1h3 * scales, I1h3, I0h3, I0h3 * scales], axis=-1)
+        x1 = jnp.concatenate([f1, f1], axis=-1)
+        x2 = jnp.concatenate([f2, f2], axis=-1)
+        x3 = jnp.concatenate([f3, f3], axis=-1)
+        return gridnet_apply(fusion, x, x1, x2, x3)
+    I0h3 = jnp.broadcast_to(I0h, I1h3.shape)
+    timeit("gridnet x3ts", jax.jit(gn), p.fusionnet, I1h3, I0h3, scales,
+           feat3[0], feat3[1], feat3[2])
 
 
 if __name__ == "__main__":
