@@ -50,9 +50,15 @@ class Reuse(NamedTuple):
 
 
 def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False,
-                warp_backend: str = "auto") -> Reuse:
-    """Precompute flow, metrics and feature pyramids (GMFSS.py:58-81)."""
-    feat0 = featurenet_apply(p.feat_ext, img0)
+                warp_backend: str = "auto", feat0=None) -> Reuse:
+    """Precompute flow, metrics and feature pyramids (GMFSS.py:58-81).
+
+    ``feat0`` may pass img0's feature pyramid from the previous window's
+    chained reuse (``reuse10.feat0`` IS featurenet(I1)) — saves one
+    featurenet evaluation per window, bit-identical.
+    """
+    if feat0 is None:
+        feat0 = featurenet_apply(p.feat_ext, img0)
     feat1 = featurenet_apply(p.feat_ext, img1)
 
     img0h = scale_by(img0, 0.5)

@@ -157,8 +157,8 @@ class GMFSS_UNION:
                               warp_backend=config.warp_backend)
         )
 
-    def reuse(self, img0, img1) -> Reuse:
-        return self._reuse_jit(self.params, img0, img1)
+    def reuse(self, img0, img1, feat0=None) -> Reuse:
+        return self._reuse_jit(self.params, img0, img1, feat0=feat0)
 
     def inference_ts(self, I0, I1, ts):
         if len(ts) == 0:
@@ -174,7 +174,8 @@ class GMFSS_UNION:
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
         reuse10 = self.reuse(I1, I0) if reuse is None else reuse
-        reuse12 = self.reuse(I1, I2)
+        # reuse10.feat0 is featurenet(I1) — skip recomputing it
+        reuse12 = self.reuse(I1, I2, feat0=reuse10.feat0)
 
         frames = []
         if len(ts) > 0:

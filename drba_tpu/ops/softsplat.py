@@ -266,7 +266,12 @@ def softsplat(
         x = jnp.concatenate([x * mexp, mexp], axis=-1)
 
     name = _resolve_backend(backend)
-    if name in ("shift", "stencil"):
+    if name == "stencil" and ten.dtype == jnp.bfloat16:
+        # bf16 inputs stream through the kernel's VMEM in bf16 (half the
+        # value DMA/footprint); weights + accumulation stay f32, so the
+        # result matches the input's own precision
+        out = _BACKENDS[name](x.astype(jnp.bfloat16), flow, radius=radius)
+    elif name in ("shift", "stencil"):
         out = _BACKENDS[name](x, flow, radius=radius)
     else:
         out = _BACKENDS[name](x, flow)

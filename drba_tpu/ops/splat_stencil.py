@@ -46,7 +46,7 @@ def _align_extra(r: int) -> int:
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _choose_blocks(p: int, h: int, wpad: int, r: int) -> tuple[int, int]:
+def _choose_blocks(p: int, h: int, wpad: int, r: int, vbytes: int = 4) -> tuple[int, int]:
     """Pick (plane-block, band-height) minimizing the grid-step count
     (per-step overhead ~tens of us dominates for small-motion bands),
     tie-breaking toward larger plane blocks (weight-compute amortization)."""
@@ -54,7 +54,11 @@ def _choose_blocks(p: int, h: int, wpad: int, r: int) -> tuple[int, int]:
 
     def vmem(pblk, hb):
         rows = hb + 2 * r + extra
-        return (2 * pblk + 8) * rows * wpad * 4 + pblk * hb * wpad * 4
+        return (
+            2 * pblk * rows * wpad * vbytes  # double-buffered value windows
+            + 8 * rows * wpad * 4            # double-buffered weight windows
+            + pblk * hb * wpad * 4           # f32 out block
+        )
 
     best = None
     for hb in (64, 32, 16, 8):
@@ -157,7 +161,9 @@ def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
                         jnp.where(dy0b[j : j + hb, :] == dyk_f, 1.0 - wy1b[j : j + hb, :], 0.0)
                         + jnp.where(dy0b[j : j + hb, :] == dyk_f - 1, wy1b[j : j + hb, :], 0.0)
                     ) * valid
-                    out_ref[...] += vsb[:, j : j + hb, :] * (wy * cw[j : j + hb, :])[None]
+                    out_ref[...] += vsb[:, j : j + hb, :].astype(jnp.float32) * (
+                        wy * cw[j : j + hb, :]
+                    )[None]
                 return 0
 
             jax.lax.fori_loop(yb_lo, yb_hi, block_body, 0)
@@ -218,8 +224,14 @@ def _band_bounds(dx0, dy0, h, hb, rows, r):
 
 @functools.partial(jax.jit, static_argnames=("radius",))
 def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) -> jax.Array:
-    """Splat (P, H, W) value planes along ``flow`` (H, W, 2) -> (P, H, W) f32."""
+    """Splat (P, H, W) value planes along ``flow`` (H, W, 2) -> (P, H, W) f32.
+
+    Value planes stream through VMEM in their OWN dtype (bf16 inputs halve
+    the value DMA and VMEM footprint -> bigger blocks, fewer grid steps);
+    weights and accumulation are always f32.
+    """
     p, h, w = planes.shape
+    vdt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
     r = radius
     extra = _align_extra(r)
     wpad = _round_up(w + 2 * r, 128)
@@ -240,7 +252,11 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
     wx1 = fx - x0
     wy1 = fy - y0
 
-    pblk, hb = _choose_blocks(p, h, wpad, r)
+    # NOTE: block sizes are chosen with f32 accounting even for bf16 values —
+    # Mosaic's scoped-vmem stack for this kernel runs ~2x the raw buffer
+    # footprint (f32 conversion temporaries), and the bf16 win is DMA
+    # bandwidth, not larger blocks (bigger blocks OOM'd scoped vmem at 16M).
+    pblk, hb = _choose_blocks(p, h, wpad, r, vbytes=4)
     rows = hb + 2 * r + extra
     # pad rows so both the last band's haloed window and the bounds
     # chunking stay in range: r top, then up to a multiple of hb
@@ -257,7 +273,7 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
 
     ppad = -(-p // pblk) * pblk
     vpad = jnp.pad(
-        planes.astype(jnp.float32),
+        planes.astype(vdt),
         ((0, ppad - p), (r, row_pad_hi), (r, wpad - w - r)),
     )
 
@@ -275,7 +291,7 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
         ],
         out_specs=pl.BlockSpec((pblk, hb, w), lambda pb, b, bounds: (pb, b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, pblk, rows, wpad), jnp.float32),
+            pltpu.VMEM((2, pblk, rows, wpad), vdt),
             pltpu.VMEM((2, 4, rows, wpad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -304,4 +320,6 @@ def splat_nhwc_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax
         out = one((ten[0], flow[0]))[None]
     else:
         out = jax.lax.map(one, (ten, flow))
-    return jnp.moveaxis(out, 1, -1).astype(ten.dtype)
+    # accumulation is f32 — return it so downstream normalization divides at
+    # full precision even when values streamed through VMEM as bf16
+    return jnp.moveaxis(out, 1, -1)

@@ -113,3 +113,29 @@ def test_fast_backend_drops_far_entries():
     flow = np.full((1, 16, 16, 2), 14.0, np.float32)  # beyond radius 12
     out = np.asarray(softsplat(jnp.asarray(x), jnp.asarray(flow), None, "sum", backend="shift"))
     assert np.abs(out).sum() == 0.0
+
+
+def test_stencil_bf16_storage_matches_scatter():
+    """bf16 inputs stream through the stencil kernel's VMEM as bf16
+    (softsplat.py gates this on the ORIGINAL dtype); the result matches the
+    exact f32 scatter of the same bf16 inputs to bf16 resolution."""
+    n, h, w, c = 1, 24, 40, 5
+    ten = jnp.asarray(RNG.uniform(0, 1, (n, h, w, c)), jnp.bfloat16)
+    flow = jnp.asarray(np.clip(RNG.standard_normal((n, h, w, 2)) * 3, -7, 7), jnp.bfloat16)
+    met = jnp.asarray(RNG.standard_normal((n, h, w, 1)), jnp.bfloat16)
+    for mode, m in [("avg", None), ("soft", met)]:
+        want = np.asarray(softsplat(ten, flow, m, mode, backend="scatter"), np.float32)
+        got = np.asarray(softsplat(ten, flow, m, mode, backend="stencil"), np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_stencil_radius_param():
+    """The per-level radius parameter drops exactly the out-of-radius set."""
+    x = np.ones((1, 16, 16, 1), np.float32)
+    flow = np.full((1, 16, 16, 2), 5.0, np.float32)
+    kept = np.asarray(softsplat(jnp.asarray(x), jnp.asarray(flow), None, "sum",
+                                backend="stencil", radius=6))
+    dropped = np.asarray(softsplat(jnp.asarray(x), jnp.asarray(flow), None, "sum",
+                                   backend="stencil", radius=3))
+    assert np.abs(kept).sum() > 0
+    assert np.abs(dropped).sum() == 0.0

@@ -135,3 +135,16 @@ def test_tap_downsample_mxu_parity():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
         )
+
+
+def test_non_lane_multiple_width():
+    """W=960-style widths (not a 128 multiple) edge-pad internally and stay
+    exact vs the gather reference wherever tiles cover their windows."""
+    rng = np.random.default_rng(7)
+    b, h, w, c = 1, 32, 320, 4
+    img = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)).astype(np.float32))
+    flow = _smooth_flow(rng, b, h, w, 5.0)
+    out = backwarp_mxu(img, flow)
+    ref = backwarp(img, flow)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0)
