@@ -179,6 +179,9 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
     )(ys, xs, x0r, wx, y0r, wy, img_chw)
 
 
+_NARROW_WW = 256  # minimum window: 128-lane start quantization + margins
+
+
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
 def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
     """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
@@ -189,6 +192,11 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -
     semantics because sample positions are clamped to the TRUE extent first.
     ``wh`` must be a multiple of 16 so the in-kernel (C*WH, WW) view stays
     layout-free in bf16; ``ww`` a multiple of 128.
+
+    NOTE on window width: a runtime lax.cond choosing a narrow 256-wide
+    window when the flow allows it was tried and reverted — the cond's
+    operand materialization costs ~5 ms per call, eating most of the ~20%
+    narrow-matmul saving and LOSING throughput whenever the wide path runs.
     """
     _, h, w, _ = img.shape
     gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
