@@ -265,9 +265,25 @@ def _transformer_layer(p: Params, base: str, source, target, num_splits: int,
                        with_shift: bool, no_ffn: bool):
     """TransformerLayer (transformer.py:108-185). source/target (B,H,W,C)."""
     b, h, w, c = source.shape
-    q = linear(p, f"{base}.q_proj", source)
-    k = linear(p, f"{base}.k_proj", target)
-    v = linear(p, f"{base}.v_proj", target)
+    # fuse the projections into one wide matmul: skinny-N matmuls at these
+    # token counts pay a fixed ~0.85 ms M-traversal cost regardless of N on
+    # this TPU stack, so one N=3c (or N=2c) matmul ~= the cost of one N=c
+    wq = p[f"{base}.q_proj.weight"]
+    wk = p[f"{base}.k_proj.weight"]
+    wv = p[f"{base}.v_proj.weight"]
+    if source is target:
+        qkv = jnp.dot(
+            source, jnp.concatenate([wq, wk, wv], axis=1).astype(source.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(source.dtype)
+        q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+    else:
+        q = linear(p, f"{base}.q_proj", source)
+        kv = jnp.dot(
+            target, jnp.concatenate([wk, wv], axis=1).astype(target.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(target.dtype)
+        k, v = kv[..., :c], kv[..., c:]
 
     if num_splits > 1:
         message = _window_attention(q, k, v, num_splits, h, w, with_shift)

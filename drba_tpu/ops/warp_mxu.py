@@ -20,7 +20,7 @@ Per tile:
 Semantics match ops.warp.backwarp with ``padding_mode='border'``
 (reference: models/rife_426_heavy/warplayer.py:8-22) EXACTLY for every pixel
 whose integer source coords fit its tile's window: horizontally
-|x0 - tile mid-range| <= (WW-130)/2 (63 px at the default WW=256) and
+|x0 - tile mid-range| <= (WW-130)/2 (127 px at the default WW=384) and
 vertically within ~(WH-10)/2 rows (11 at WH=32). Pixels beyond that (extreme
 flow divergence inside one tile) clamp to the window edge — a localized,
 bounded deviation quantified in tests/test_warp_mxu.py. Use
@@ -177,9 +177,6 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
         out_shape=jax.ShapeDtypeStruct((bsz, c, ho, wo), img_chw.dtype),
         interpret=jax.default_backend() == "cpu",
     )(ys, xs, x0r, wx, y0r, wy, img_chw)
-
-
-_NARROW_WW = 256  # minimum window: 128-lane start quantization + margins
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
