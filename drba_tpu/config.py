@@ -33,6 +33,12 @@ class Config:
         (ops/warp_mxu.py) on TPU for shapes it supports and the XLA
         patch-gather otherwise. 'mxu' forces the kernel (tests); 'gather'
         forces the exact XLA path.
+      drm_splat_scale: resolution scale of the DRM alignment splats on the
+        RIFE path (drm.py:_splat_avg_scaled). DRM maps are smooth ratio
+        fields, so 0.5 (default) splats at half resolution — 4x fewer pixels
+        and 2x the effective stencil radius — with a bounded deviation
+        localized to motion boundaries (gated by
+        tests/test_splat_deviation.py). 1.0 is the exact path.
       scdet_threshold: SSIM threshold for scene-change detection
         (infer.py:30-31).
 
@@ -47,6 +53,7 @@ class Config:
     flow_scale: float = 1.0
     splat_backend: str = "auto"
     warp_backend: str = "auto"
+    drm_splat_scale: float = 0.5
     scdet_threshold: float = 0.3
     seed: int = 0
 

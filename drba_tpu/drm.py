@@ -125,13 +125,37 @@ def _hole_fill(warped: jax.Array, warped_ones: jax.Array, fallback: jax.Array) -
     return jnp.where(warped_ones < 0.999, fallback, warped)
 
 
+def _splat_avg_scaled(val, flow, metric, mode, backend, splat_scale):
+    """Forward-splat ``val`` along ``flow`` with optional downscaled splat.
+
+    DRM maps are smooth ratio fields, so their alignment splat can run at
+    reduced resolution (``splat_scale=0.5``: 4x fewer pixels, 2x the
+    effective stencil radius) and be bilinearly upsampled — a bounded
+    deviation localized to motion boundaries, gated by
+    tests/test_splat_deviation.py. ``splat_scale=1.0`` is the exact path.
+    """
+    from drba_tpu.ops.resize import resize_bilinear
+
+    if splat_scale == 1.0:
+        return softsplat(val, flow, metric, mode, backend=backend,
+                         return_coverage=True)
+    h, w = val.shape[1], val.shape[2]
+    hs, ws = int(h * splat_scale), int(w * splat_scale)
+    val_s = resize_bilinear(val, (hs, ws))
+    flow_s = resize_bilinear(flow, (hs, ws)) * splat_scale
+    metric_s = None if metric is None else resize_bilinear(metric, (hs, ws))
+    wv, cov = softsplat(val_s, flow_s, metric_s, mode, backend=backend,
+                        return_coverage=True)
+    return resize_bilinear(wv, (h, w)), resize_bilinear(cov, (h, w))
+
+
 class DrmRife(NamedTuple):
     drm_t1_t01: jax.Array
     drm_t1_t12: jax.Array
 
 
 def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False,
-                  backend: str = "auto") -> DrmRife:
+                  backend: str = "auto", splat_scale: float = 1.0) -> DrmRife:
     """DRM timestep maps for the RIFE (backward-warp) path (drm.py:65-107).
 
     RIFE consumes the DRM as a per-pixel timestep, aligned to the
@@ -154,10 +178,10 @@ def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False,
         drm_t0 = _retime(drm10, t, linear)
         drm_t1 = _retime(drm12, t, linear)
 
-    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, None, "avg",
-                         backend=backend, return_coverage=True)
-    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, None, "avg",
-                         backend=backend, return_coverage=True)
+    w01, m01 = _splat_avg_scaled(drm_t1, flow10 * drm_t1, None, "avg",
+                                 backend, splat_scale)
+    w12, m12 = _splat_avg_scaled(drm_t0, flow12 * drm_t0, None, "avg",
+                                 backend, splat_scale)
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),
@@ -180,11 +204,13 @@ def calc_drm_gmfss(
     metric12: jax.Array | None,
     linear: bool = False,
     backend: str = "auto",
+    splat_scale: float = 1.0,
 ) -> DrmGmfss:
     """DRM timestep maps for the GMFSS (forward-warp) path (drm.py:110-155).
 
     ``t`` scalar or (T,) vector; see :func:`calc_drm_rife` for the folded
-    batched-t contract.
+    batched-t contract. ``splat_scale`` downsamples the alignment splats
+    (see :func:`_splat_avg_scaled`).
     """
     drm10, drm12 = _ratio_maps(flow10, flow12, eps=0.0)
     if _is_batched_t(t):
@@ -202,10 +228,10 @@ def calc_drm_gmfss(
     drm2t_u = 1.0 - drm1t_t12
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    w0, m0 = softsplat(drm0t_u, flow10, metric10, mode,
-                       backend=backend, return_coverage=True)
-    w2, m2 = softsplat(drm2t_u, flow12, metric12, mode,
-                       backend=backend, return_coverage=True)
+    w0, m0 = _splat_avg_scaled(drm0t_u, flow10, metric10, mode, backend,
+                               splat_scale)
+    w2, m2 = _splat_avg_scaled(drm2t_u, flow12, metric12, mode, backend,
+                               splat_scale)
 
     return DrmGmfss(
         drm0t_t01=_hole_fill(w0, m0, drm0t_u),
@@ -223,6 +249,7 @@ def calc_drm_rife_auxiliary(
     metric12: jax.Array | None,
     linear: bool = False,
     backend: str = "auto",
+    splat_scale: float = 1.0,
 ) -> DrmRife:
     """DRM maps for the auxiliary RIFE inside GMFSS_UNION (drm.py:158-195).
 
@@ -243,10 +270,10 @@ def calc_drm_rife_auxiliary(
         drm_t1 = _retime(drm12, t, linear)
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    w01, m01 = softsplat(drm_t1, flow10 * drm_t1, metric10, mode,
-                         backend=backend, return_coverage=True)
-    w12, m12 = softsplat(drm_t0, flow12 * drm_t0, metric12, mode,
-                         backend=backend, return_coverage=True)
+    w01, m01 = _splat_avg_scaled(drm_t1, flow10 * drm_t1, metric10, mode,
+                                 backend, splat_scale)
+    w12, m12 = _splat_avg_scaled(drm_t0, flow12 * drm_t0, metric12, mode,
+                                 backend, splat_scale)
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),

@@ -54,9 +54,9 @@ def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse,
     return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
 
 
-@functools.partial(jax.jit, static_argnames=("linear", "backend"))
+@functools.partial(jax.jit, static_argnames=("linear", "backend", "drm_splat_scale"))
 def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
-                 linear, backend="auto"):
+                 linear, backend="auto", drm_splat_scale=1.0):
     """All T timesteps as ONE batched program, T folded into the batch axis.
 
     Explicit batching (not vmap) so the T GridNet/conv evaluations run as one
@@ -68,7 +68,7 @@ def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
     tt = jnp.where(ts < 1, 1 - ts, ts - 1)
     drm = calc_drm_gmfss(
         tt, reuse10.flow01, reuse12.flow01, reuse10.metric0, reuse12.metric0,
-        linear=linear, backend=backend,
+        linear=linear, backend=backend, splat_scale=drm_splat_scale,
     )  # folded (T, h/2, w/2, 1) maps
     left = (ts < 1)[:, None, None, None]
     imgB = jnp.where(left, I0, I2)  # (T, H, W, 3)
@@ -140,6 +140,7 @@ class GMFSS:
             out = _drba_window(
                 self.params, I0, I1, I2, jnp.asarray(ts, jnp.float32),
                 reuse10, reuse12, linear, self.config.splat_backend,
+                self.config.drm_splat_scale,
             )
             frames = [out[i] for i in range(len(ts))]
 

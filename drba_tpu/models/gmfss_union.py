@@ -69,10 +69,12 @@ def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale_list", "linear", "backend", "warp_backend")
+    jax.jit,
+    static_argnames=("scale_list", "linear", "backend", "warp_backend",
+                     "drm_splat_scale"),
 )
 def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
-                 linear, backend="auto", warp_backend="auto"):
+                 linear, backend="auto", warp_backend="auto", drm_splat_scale=1.0):
     """All T timesteps as ONE batched program, T folded into the batch axis
     (explicit batching — see models/gmfss.py). The aux RIFE runs as one
     batched IFNet call and may use the MXU warp kernel (never possible under
@@ -83,9 +85,11 @@ def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
     metric10, metric12 = reuse10.metric0, reuse12.metric0
 
     drm_g = calc_drm_gmfss(tt, flow10, flow12, metric10, metric12,
-                           linear=linear, backend=backend)
+                           linear=linear, backend=backend,
+                           splat_scale=drm_splat_scale)
     drm_r = calc_drm_rife_auxiliary(tt, flow10, flow12, metric10, metric12,
-                                    linear=linear, backend=backend)
+                                    linear=linear, backend=backend,
+                                    splat_scale=drm_splat_scale)
 
     left = (ts < 1)[:, None, None, None]
     imgB = jnp.where(left, I0, I2)  # (T, H, W, 3)
@@ -183,7 +187,7 @@ class GMFSS_UNION:
                 self.params, self.rife_params, I0, I1, I2,
                 jnp.asarray(ts, jnp.float32), reuse10, reuse12,
                 self.scale_list, linear, self.config.splat_backend,
-                self.config.warp_backend,
+                self.config.warp_backend, self.config.drm_splat_scale,
             )
             frames = [out[i] for i in range(len(ts))]
 

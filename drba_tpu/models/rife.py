@@ -95,10 +95,13 @@ def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale_list", "linear", "splat_backend", "warp_backend")
+    jax.jit,
+    static_argnames=("scale_list", "linear", "splat_backend", "warp_backend",
+                     "drm_splat_scale"),
 )
 def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
-                 scale_list, linear, splat_backend="auto", warp_backend="auto"):
+                 scale_list, linear, splat_backend="auto", warp_backend="auto",
+                 drm_splat_scale=1.0):
     """All timesteps of one 3-frame window as a single batched XLA program.
 
     The per-t DRM maps are vmapped; the T IFNet evaluations then run as ONE
@@ -115,7 +118,8 @@ def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
     # leading axis itself (explicit batching keeps the Pallas splat kernel
     # out of vmap; see drm._retime_batched)
     tt = jnp.where(ts < 1, 1 - ts, ts - 1)
-    drm = calc_drm_rife(tt, flow10, flow12, linear=linear, backend=splat_backend)
+    drm = calc_drm_rife(tt, flow10, flow12, linear=linear, backend=splat_backend,
+                        splat_scale=drm_splat_scale)
     d01 = drm.drm_t1_t01.reshape(T, n, h, w, 1)
     d12 = drm.drm_t1_t12.reshape(T, n, h, w, 1)
     l5 = (ts < 1)[:, None, None, None, None]
@@ -214,7 +218,7 @@ class RIFE:
             out = _drba_window(
                 self.params, I0, I1, I2, tsv, flow10, flow12, f0, f1, f2,
                 self.scale_list, linear, self.config.splat_backend,
-                self.config.warp_backend,
+                self.config.warp_backend, self.config.drm_splat_scale,
             )
             frames = [out[i] for i in range(len(ts))]
 

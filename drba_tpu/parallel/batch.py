@@ -86,7 +86,7 @@ def make_window_fn(model, mesh):
             flow10 = jnp.where(idx == 0, carry, prev21)
             out = _rife_window(
                 params, i0, i1, i2, tvec, flow10, flow12, f0, f1, f2,
-                scale_list, True, sb, wb,
+                scale_list, True, sb, wb, model.config.drm_splat_scale,
             )
             return out[None], flow21[None]
 
@@ -123,11 +123,12 @@ def make_window_fn(model, mesh):
                 out = _union_window(
                     params, model.rife_params, i0, i1, i2, tvec,
                     reuse10, reuse12, model.scale_list, True, sb,
-                    model.config.warp_backend,
+                    model.config.warp_backend, model.config.drm_splat_scale,
                 )
             else:
                 out = _gmfss_window(
-                    params, i0, i1, i2, tvec, reuse10, reuse12, True, sb
+                    params, i0, i1, i2, tvec, reuse10, reuse12, True, sb,
+                    model.config.drm_splat_scale,
                 )
             carry_out = _swapped(reuse12)
             return out[None], jax.tree_util.tree_map(lambda x: x[None], carry_out)

@@ -76,3 +76,32 @@ def test_raw_splat_beyond_radius_reads_as_holes():
         np.testing.assert_allclose(
             np.asarray(out_s)[both], np.asarray(out_e)[both], atol=1e-4
         )
+
+
+def test_drm_half_res_splat_deviation_bounds():
+    """drm_splat_scale=0.5 (the RIFE-path default) splats the smooth DRM maps
+    at half resolution. Piecewise-uniform motion (pans, region boundaries) is
+    essentially exact; jittery flow estimation noise is low-passed — pinned
+    here as regression floors vs the exact full-res path."""
+    h, w = 96, 160
+    # worst case: noisy jittered pan (the ratio maps inherit the jitter)
+    f10 = _pan_flow(1, h, w, 12.0, 4.0, 1.5, seed=0)
+    f12 = _pan_flow(1, h, w, -12.0, -4.0, 1.5, seed=1)
+    for t in (0.25, 0.5):
+        e = calc_drm_rife(t, f10, f12, linear=True, backend="scatter")
+        a = calc_drm_rife(t, f10, f12, linear=True, backend="scatter",
+                          splat_scale=0.5)
+        for name in ("drm_t1_t01", "drm_t1_t12"):
+            x, y = getattr(a, name), getattr(e, name)
+            assert float(ssim(x, y)) > 0.82, (name, t)
+            assert float(jnp.abs(x - y).max()) < 0.1, (name, t)
+
+    # motion-boundary case (two rigid regions): exact
+    fb = np.zeros((1, h, w, 2), np.float32)
+    fb[:, :, : w // 2, 0] = 12.0
+    f10b, f12b = jnp.asarray(fb), jnp.asarray(-fb)
+    e = calc_drm_rife(0.5, f10b, f12b, linear=True, backend="scatter")
+    a = calc_drm_rife(0.5, f10b, f12b, linear=True, backend="scatter",
+                      splat_scale=0.5)
+    for name in ("drm_t1_t01", "drm_t1_t12"):
+        assert float(jnp.abs(getattr(a, name) - getattr(e, name)).max()) < 1e-5
