@@ -45,10 +45,15 @@ def parse_args(argv=None):
                    help="compute in float32 instead of bfloat16")
     p.add_argument("--devices", dest="devices", type=int, default=1,
                    help="shard the window batch across N chips (all models, "
-                        "scdet supported; output differs from serial within "
-                        "numerical tolerance: each window recomputes its "
-                        "backward flow instead of reusing the previous "
-                        "window's reversed pair)")
+                        "scdet supported; bit-identical to serial — the "
+                        "reuse chain is preserved by an ICI neighbor "
+                        "exchange, see drba_tpu/parallel/batch.py)")
+    p.add_argument("--exact-drm", dest="exact_drm", action="store_true",
+                   default=False,
+                   help="compute DRM alignment splats at full resolution "
+                        "(default: half resolution — exact for rigid motion, "
+                        "smooths flow-estimation jitter; see "
+                        "Config.drm_splat_scale)")
     p.add_argument("--profile", dest="profile", action="store_true", default=False,
                    help="print per-stage wall-clock timings at the end")
     p.add_argument("--seg-frames", dest="seg_frames", type=int, default=0,
@@ -92,6 +97,7 @@ def main(argv=None):
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         flow_scale=args.scale,
         scdet_threshold=args.scdet_threshold,
+        drm_splat_scale=1.0 if args.exact_drm else 0.5,
     )
     model = load_model(args.model_type, args.weights, args.scale, config)
 

@@ -108,16 +108,16 @@ def _warp_pyramid(img_h, feats, Ft, Zt, extra=None, backend="auto"):
     extra_w = w1[..., c_img + feats[0].shape[-1] :] if extra is not None else None
 
     # flows scale with the pyramid level, so the dense backends' exact radius
-    # scales too: r=16/8/4 covers the same physical motion at every level
+    # scales too: r=12/6/3 covers the same physical motion at every level
     h2, w2 = feats[1].shape[1], feats[1].shape[2]
     Ftd = resize_bilinear(Ft, (h2, w2)) * 0.5
     Ztd = resize_bilinear(Zt, (h2, w2))
-    f2 = softsplat(feats[1], Ftd, Ztd, "soft", backend=backend, radius=8)
+    f2 = softsplat(feats[1], Ftd, Ztd, "soft", backend=backend, radius=6)
 
     h3, w3 = feats[2].shape[1], feats[2].shape[2]
     Ftdd = resize_bilinear(Ft, (h3, w3)) * 0.25
     Ztdd = resize_bilinear(Zt, (h3, w3))
-    f3 = softsplat(feats[2], Ftdd, Ztdd, "soft", backend=backend, radius=4)
+    f3 = softsplat(feats[2], Ftdd, Ztdd, "soft", backend=backend, radius=3)
     return It, (f1, f2, f3), extra_w, cov1
 
 

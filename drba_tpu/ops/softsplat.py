@@ -225,7 +225,7 @@ def softsplat(
     mode: str = "avg",
     backend: str = "auto",
     return_coverage: bool = False,
-    radius: int = 16,
+    radius: int = 12,
 ) -> jax.Array:
     """Forward-splat ``ten`` (N,H,W,C) along ``flow`` (N,H,W,2).
 
@@ -242,10 +242,10 @@ def softsplat(
     ``radius`` bounds the dense backends' (shift/stencil) exact displacement
     range at THIS call's resolution; callers warping at a downscaled pyramid
     level scale it down with the flow so physical motion coverage stays
-    constant. The stencil kernel's motion-adaptive bounds make a larger
-    radius nearly free for typical flows (default 16 = 32 px of physical
-    motion at a half-res warp), only real extreme motion pays for it.
-    Ignored by the exact scatter/sort backends.
+    constant (default 12 = 24 px of physical motion at a half-res warp;
+    raise per call for extreme-motion content — the stencil kernel's
+    motion-adaptive bounds charge only for motion actually present, plus a
+    modest halo-DMA overhead). Ignored by the exact scatter/sort backends.
     """
     parts = mode.split("-")
     main, sub = parts[0], (parts[1] if len(parts) > 1 else None)

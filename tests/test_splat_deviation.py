@@ -1,4 +1,4 @@
-"""Quantify the stencil splat's radius-12 approximation on high motion.
+"""Quantify the stencil splat's bounded-radius approximation on high motion.
 
 The TPU-default 'stencil'/'shift' splat backends drop contributions displaced
 more than the stencil radius (12 px at warp resolution); dropped targets read
