@@ -85,6 +85,23 @@ def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
     return out[:, None]  # (T, 1, H, W, 3) — original per-t sample contract
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "linear", "backend", "warp_backend",
+                     "drm_splat_scale"),
+)
+def _drba_window_fused(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse,
+                       scale, linear, backend="auto", warp_backend="auto",
+                       drm_splat_scale=1.0):
+    """One dispatch per window: reuse(I1, I2) + the full timestep batch in a
+    single XLA program. Returns (frames, reuse12)."""
+    reuse12 = gmfss_reuse(p, I1, I2, scale=scale, union=False,
+                          warp_backend=warp_backend, feat0=reuse10.feat0)
+    out = _drba_window(p, I0, I1, I2, ts, reuse10, reuse12, linear, backend,
+                       drm_splat_scale)
+    return out, reuse12
+
+
 @functools.partial(jax.jit, static_argnames=("backend",))
 def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse, backend="auto"):
     """Plain interpolation at T timesteps, T folded into the batch axis."""
@@ -132,17 +149,19 @@ class GMFSS:
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
         reuse10 = self.reuse(I1, I0) if reuse is None else reuse
-        # reuse10.feat0 is featurenet(I1) — skip recomputing it
-        reuse12 = self.reuse(I1, I2, feat0=reuse10.feat0)
 
-        frames = []
-        if len(ts) > 0:
-            out = _drba_window(
-                self.params, I0, I1, I2, jnp.asarray(ts, jnp.float32),
-                reuse10, reuse12, linear, self.config.splat_backend,
-                self.config.drm_splat_scale,
-            )
-            frames = [out[i] for i in range(len(ts))]
+        if len(ts) == 0:
+            reuse12 = self.reuse(I1, I2, feat0=reuse10.feat0)
+            return [], reuse12.swapped()
+
+        # fused single-program window: reuse(I1, I2) + all timesteps
+        # (reuse10.feat0 is featurenet(I1) — not recomputed)
+        out, reuse12 = _drba_window_fused(
+            self.params, I0, I1, I2, jnp.asarray(ts, jnp.float32), reuse10,
+            self.scale, linear, self.config.splat_backend,
+            self.config.warp_backend, self.config.drm_splat_scale,
+        )
+        frames = [out[i] for i in range(len(ts))]
 
         # next reuse(I1', I0') = direction-swapped current reuse(I1, I2)
         return frames, reuse12.swapped()

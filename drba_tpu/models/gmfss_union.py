@@ -117,6 +117,24 @@ def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("scale", "scale_list", "linear", "backend",
+                     "warp_backend", "drm_splat_scale"),
+)
+def _drba_window_fused(p, rife_params, I0, I1, I2, ts, reuse10: Reuse,
+                       scale, scale_list, linear, backend="auto",
+                       warp_backend="auto", drm_splat_scale=1.0):
+    """One dispatch per window: reuse(I1, I2) + the full timestep batch in a
+    single XLA program. Returns (frames, reuse12)."""
+    reuse12 = gmfss_reuse(p, I1, I2, scale=scale, union=True,
+                          warp_backend=warp_backend, feat0=reuse10.feat0)
+    out = _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12,
+                       scale_list, linear, backend, warp_backend,
+                       drm_splat_scale)
+    return out, reuse12
+
+
+@functools.partial(
     jax.jit, static_argnames=("scale_list", "backend", "warp_backend")
 )
 def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list, backend="auto",
@@ -178,17 +196,19 @@ class GMFSS_UNION:
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
         reuse10 = self.reuse(I1, I0) if reuse is None else reuse
-        # reuse10.feat0 is featurenet(I1) — skip recomputing it
-        reuse12 = self.reuse(I1, I2, feat0=reuse10.feat0)
 
-        frames = []
-        if len(ts) > 0:
-            out = _drba_window(
-                self.params, self.rife_params, I0, I1, I2,
-                jnp.asarray(ts, jnp.float32), reuse10, reuse12,
-                self.scale_list, linear, self.config.splat_backend,
-                self.config.warp_backend, self.config.drm_splat_scale,
-            )
-            frames = [out[i] for i in range(len(ts))]
+        if len(ts) == 0:
+            reuse12 = self.reuse(I1, I2, feat0=reuse10.feat0)
+            return [], reuse12.swapped()
+
+        # fused single-program window: reuse(I1, I2) + all timesteps
+        # (reuse10.feat0 is featurenet(I1) — not recomputed)
+        out, reuse12 = _drba_window_fused(
+            self.params, self.rife_params, I0, I1, I2,
+            jnp.asarray(ts, jnp.float32), reuse10,
+            self.scale, self.scale_list, linear, self.config.splat_backend,
+            self.config.warp_backend, self.config.drm_splat_scale,
+        )
+        frames = [out[i] for i in range(len(ts))]
 
         return frames, reuse12.swapped()

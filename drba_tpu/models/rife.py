@@ -146,6 +146,29 @@ def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
     return out  # (T, N, H, W, 3)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale_list", "linear", "splat_backend", "warp_backend",
+                     "drm_splat_scale"),
+)
+def _drba_window_fused(params, I0, I1, I2, ts, flow10, f0, f1,
+                       scale_list, linear, splat_backend="auto",
+                       warp_backend="auto", drm_splat_scale=1.0):
+    """One dispatch per window: the I1<->I2 flow pass and the full timestep
+    batch compile into a single XLA program (saves a ~4 ms program dispatch
+    and the HBM round-trip of flows/features between programs). Returns
+    (frames, flow12, flow21, f2) — the last three thread the reuse chain.
+    """
+    flow12, flow21, _, f2 = _calc_flow(
+        params, I1, I2, scale_list[0], f0=f1, splat_backend=splat_backend
+    )
+    out = _drba_window(
+        params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
+        scale_list, linear, splat_backend, warp_backend, drm_splat_scale,
+    )
+    return out, flow12, flow21, f2
+
+
 @functools.partial(jax.jit, static_argnames=("scale_list", "warp_backend"))
 def _ts_batch(params, I0, I1, ts, scale_list, warp_backend="auto"):
     """Plain interpolation at T timesteps, T folded into the batch axis."""
@@ -206,21 +229,22 @@ class RIFE:
         encoder features to the next window (models/rife.py:108-109).
         """
         if reuse is not None:
-            flow10, flow01, f1, f0 = reuse
-            flow12, flow21, f1, f2 = self._calc_flow(I1, I2, f0=f1)
+            flow10, _flow01, f1, f0 = reuse
         else:
-            flow10, flow01, f1, f0 = self._calc_flow(I1, I0)
-            flow12, flow21, _, f2 = self._calc_flow(I1, I2, f0=f1)
+            flow10, _flow01, f1, f0 = self._calc_flow(I1, I0)
 
-        frames = []
-        if len(ts) > 0:
-            tsv = jnp.asarray(ts, jnp.float32)
-            out = _drba_window(
-                self.params, I0, I1, I2, tsv, flow10, flow12, f0, f1, f2,
-                self.scale_list, linear, self.config.splat_backend,
-                self.config.warp_backend, self.config.drm_splat_scale,
-            )
-            frames = [out[i] for i in range(len(ts))]
+        if len(ts) == 0:
+            flow12, flow21, _, f2 = self._calc_flow(I1, I2, f0=f1)
+            return [], (flow21, flow12, f2, f1)
+
+        # fused single-program window: I1<->I2 flow + all timesteps
+        tsv = jnp.asarray(ts, jnp.float32)
+        out, flow12, flow21, f2 = _drba_window_fused(
+            self.params, I0, I1, I2, tsv, flow10, f0, f1,
+            self.scale_list, linear, self.config.splat_backend,
+            self.config.warp_backend, self.config.drm_splat_scale,
+        )
+        frames = [out[i] for i in range(len(ts))]
 
         # next window's (flow10, flow01, f1, f0) = reversed current I1<->I2
         return frames, (flow21, flow12, f2, f1)
