@@ -101,7 +101,8 @@ def test_drba_window_batched_matches_vmapped_reference():
 
     rng = np.random.default_rng(4)
     h, w = 64, 128
-    model = RIFE(weights=None, scale=1.0, config=F32)
+    # exact DRM (the per-t reference path computes full-resolution splats)
+    model = RIFE(weights=None, scale=1.0, config=F32.replace(drm_splat_scale=1.0))
     I0 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
     I1 = jnp.asarray(np.roll(np.asarray(I0), 3, axis=2))
     I2 = jnp.asarray(np.roll(np.asarray(I0), 6, axis=2))
