@@ -286,8 +286,8 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
         num_scalar_prefetch=1,
         grid=(n_pb, n_bands),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((pblk, hb, w), lambda pb, b, bounds: (pb, b, 0)),
         scratch_shapes=[
