@@ -129,44 +129,54 @@ def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
     dx_lo = bounds_ref[b, 2]
     dx_hi = bounds_ref[b, 3]
 
-    # Column offsets unrolled, each predicated on the band's measured dx
-    # range; row-offset blocks iterate a dynamic (band-measured) sub-range.
-    # Mosaic requires sublane starts provably divisible by 8, hence the
-    # 8-aligned blocks with 8 statically-unrolled sub-offsets; windows carry
-    # `extra` spare bottom rows so the last aligned block load stays in
-    # bounds.
-    for dx in range(2 * r + 1):
-        dxk = dx - r
-        sl_x = slice(r - dxk, r - dxk + w_out)
+    # Row-offset blocks iterate a dynamic (band-measured) sub-range OUTER —
+    # a band with empty bounds costs zero iterations, so the 2r+1 predicated
+    # column offsets inside never evaluate (the inverted nesting cost ~60us
+    # per step on quiet bands). Mosaic requires sublane starts provably
+    # divisible by 8, hence the 8-aligned blocks with 8 statically-unrolled
+    # sub-offsets; windows carry `extra` spare bottom rows so the last
+    # aligned block load stays in bounds.
+    def block_body(b8, _):
+        base = pl.multiple_of(b8 * 8, 8)
+        # two-level predicate hierarchy: each ~3us pl.when evaluation is the
+        # dominant per-block cost for typical small-motion bands, so gate
+        # groups of 5 column offsets behind one interval-overlap check
+        for g0 in range(0, 2 * r + 1, 5):
+            g_lo = g0 - r
+            g_hi = min(g0 + 4, 2 * r) - r
 
-        @pl.when((dx_lo <= dxk) & (dxk <= dx_hi))
-        def _(dxk=dxk, sl_x=sl_x):
-            def block_body(b8, _):
-                base = pl.multiple_of(b8 * 8, 8)
-                # one lane-rotate per (dx, block), amortized over the 8 js
-                vsb = vwin[slot, :, pl.ds(base, hb + 8), sl_x]
-                dx0b = wwin[slot, 0, pl.ds(base, hb + 8), sl_x]
-                dy0b = wwin[slot, 1, pl.ds(base, hb + 8), sl_x]
-                wx1b = wwin[slot, 2, pl.ds(base, hb + 8), sl_x]
-                wy1b = wwin[slot, 3, pl.ds(base, hb + 8), sl_x]
-                cw = jnp.where(dx0b == dxk, 1.0 - wx1b, 0.0) + jnp.where(
-                    dx0b == dxk - 1, wx1b, 0.0
-                )
-                for j in range(8):
-                    # source rows start at y0 = 8*b8 + j; row offset r - y0
-                    y0 = base + j
-                    dyk_f = (2 * r - y0).astype(jnp.float32) - r
-                    valid = (y0 <= 2 * r).astype(jnp.float32)
-                    wy = (
-                        jnp.where(dy0b[j : j + hb, :] == dyk_f, 1.0 - wy1b[j : j + hb, :], 0.0)
-                        + jnp.where(dy0b[j : j + hb, :] == dyk_f - 1, wy1b[j : j + hb, :], 0.0)
-                    ) * valid
-                    out_ref[...] += vsb[:, j : j + hb, :].astype(jnp.float32) * (
-                        wy * cw[j : j + hb, :]
-                    )[None]
-                return 0
+            @pl.when((dx_lo <= g_hi) & (g_lo <= dx_hi))
+            def _(g0=g0, g_hi=g_hi):
+                for dx in range(g0, min(g0 + 5, 2 * r + 1)):
+                    dxk = dx - r
+                    sl_x = slice(r - dxk, r - dxk + w_out)
 
-            jax.lax.fori_loop(yb_lo, yb_hi, block_body, 0)
+                    @pl.when((dx_lo <= dxk) & (dxk <= dx_hi))
+                    def _(dxk=dxk, sl_x=sl_x):
+                        # one lane-rotate per (dx, block), amortized over 8 js
+                        vsb = vwin[slot, :, pl.ds(base, hb + 8), sl_x]
+                        dx0b = wwin[slot, 0, pl.ds(base, hb + 8), sl_x]
+                        dy0b = wwin[slot, 1, pl.ds(base, hb + 8), sl_x]
+                        wx1b = wwin[slot, 2, pl.ds(base, hb + 8), sl_x]
+                        wy1b = wwin[slot, 3, pl.ds(base, hb + 8), sl_x]
+                        cw = jnp.where(dx0b == dxk, 1.0 - wx1b, 0.0) + jnp.where(
+                            dx0b == dxk - 1, wx1b, 0.0
+                        )
+                        for j in range(8):
+                            # source rows start at y0 = 8*b8 + j; offset r - y0
+                            y0 = base + j
+                            dyk_f = (2 * r - y0).astype(jnp.float32) - r
+                            valid = (y0 <= 2 * r).astype(jnp.float32)
+                            wy = (
+                                jnp.where(dy0b[j : j + hb, :] == dyk_f, 1.0 - wy1b[j : j + hb, :], 0.0)
+                                + jnp.where(dy0b[j : j + hb, :] == dyk_f - 1, wy1b[j : j + hb, :], 0.0)
+                            ) * valid
+                            out_ref[...] += vsb[:, j : j + hb, :].astype(jnp.float32) * (
+                                wy * cw[j : j + hb, :]
+                            )[None]
+        return 0
+
+    jax.lax.fori_loop(yb_lo, yb_hi, block_body, 0)
 
 
 def _band_bounds(dx0, dy0, h, hb, rows, r):
