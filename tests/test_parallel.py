@@ -158,3 +158,29 @@ def test_parallel_pipeline_end_to_end(tmp_path):
     cap = cv2.VideoCapture(outp)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 24
     cap.release()
+
+
+def test_union_sharded_windows_bit_match_serial_chain():
+    """GMFSS_UNION sharded plan == serial reuse-chained model output (the
+    union branch of make_window_fn: aux RIFE + gmfss reuse exchange)."""
+    from drba_tpu.models.gmfss_union import GMFSS_UNION
+
+    model = GMFSS_UNION(weights=None, scale=1.0, config=F32)
+    mesh = make_mesh(2)
+    h, w = 128, 256  # pad_size 128
+    B = 2
+    frames = _roll_frames(B + 2, h, w, seed=3)
+    ts = np.asarray([0.5, 1.5], np.float32)
+    windows = [(frames[k], frames[k + 1], frames[k + 2], ts) for k in range(B)]
+
+    with mesh:
+        planner = WindowPlanner(mesh, model, ts_bucket=2)
+        sharded = list(planner.run(windows))
+
+    reuse = None
+    for k in range(B):
+        out, reuse = model.inference_ts_drba(
+            frames[k], frames[k + 1], frames[k + 2], ts, reuse, linear=True
+        )
+        for a, b in zip(sharded[k], out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
