@@ -1,0 +1,327 @@
+"""Fused 3x3 conv-chain Pallas kernel (packed-column MXU matmuls).
+
+Round 2 measured XLA's TPU conv lowering at ~12 TF/s for the
+large-spatial / 64-channel geometry that dominates GridNet L0
+(reference models/model_gmfss/FusionNet.py:7-33) and IFNet's ResConv
+chains (models/rife_426_heavy/IFNet_HDv3.py:12-20), and a standalone
+paired-column conv kernel won 2.24x but LOST in-graph to per-invocation
+overhead plus XLA's lost bias/activation fusion (docs/ROADMAP.md).  This
+kernel amortizes that tax by running a WHOLE chain of convs — each with
+its activation / bias / residual epilogue — in one invocation:
+
+  * column packing: f adjacent pixels share the 128-lane dim (f = 128/C
+    for C in {32, 64}; f = 1 for C >= 128).  In HBM the padded input
+    reshapes (H, Wp, C) -> (H, Wp/f, f*C) for FREE, so window DMAs are
+    lane-aligned and every MXU operand is full width;
+  * a 3x3 conv on the packed grid is 9 group-taps (3 dy x 3 gdx), each
+    an accumulating (rows*P, f*Cin) @ (f*Cin, f*Cout) matmul whose
+    weight holds the phase-resolved sub-blocks of the original taps:
+    sub-block (pi, po) of group-tap (dy, gdx) is w[dy, f*gdx+pi-po+1]
+    when that tap index lies in [0, 3).  FLOP overhead is f x the
+    minimum, at ~full MXU utilization;
+  * the chain runs on a row-band grid with an n-row halo per side
+    (n = chain depth); intermediate levels live in VMEM ping-pong
+    buffers, so inter-conv tensors never touch HBM;
+  * per-step epilogues: optional pre-PReLU (GridNet's Sequential
+    (PReLU, Conv) pairs), bias, optional ResConv tail
+    ``leaky_relu(y * beta + x)`` (IFNet), and a final residual add
+    (``_seq_block(x) + x`` / ``+ other``).
+
+Zero-padding semantics match chained ``conv2d(pad=1)`` exactly: each
+level's out-of-frame rows/cols are forced to zero before the next conv
+consumes them (conv-of-padded-input would otherwise leak bias terms).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class ChainStep(NamedTuple):
+    """One conv of the chain: ``y = conv3x3(pre(x)) + b`` then epilogue.
+
+    pre_alpha: scalar PReLU slope applied to the conv INPUT (GridNet's
+        pre-activation).  Must not be combined with ``beta``.
+    beta: per-channel scale for the ResConv epilogue
+        ``y = leaky_relu(y * beta + x, 0.2)`` (x = this conv's input).
+    """
+
+    w: jax.Array                 # (3, 3, Cin, Cout)
+    b: jax.Array                 # (Cout,)
+    pre_alpha: jax.Array | None = None
+    beta: jax.Array | None = None
+
+
+class _Meta(NamedTuple):
+    steps: tuple  # per step: (Lin, Lout, has_pre, has_beta)
+    f: int
+    n: int
+    hb: int
+    H: int
+    P: int
+    PW: int
+    res_mode: int  # 0 none, 1 input, 2 extra
+    nb: int
+    dtype: object
+
+
+def _phase_weights(w: jax.Array, f: int, dtype) -> jax.Array:
+    """(3,3,Cin,Cout) taps -> (9, f*Cin, f*Cout) phase-resolved group taps."""
+    _, _, cin, cout = w.shape
+    blocks = []
+    for dy in range(3):
+        for gdx in (-1, 0, 1):
+            cols = []
+            for po in range(f):
+                rows = []
+                for pi in range(f):
+                    dx = f * gdx + pi - po + 1
+                    if 0 <= dx < 3:
+                        rows.append(w[dy, dx])
+                    else:
+                        rows.append(jnp.zeros((cin, cout), w.dtype))
+                cols.append(jnp.concatenate(rows, axis=0))
+            blocks.append(jnp.concatenate(cols, axis=1))
+    return jnp.stack(blocks).astype(dtype)
+
+
+def _row(v: jax.Array | float, L: int, dtype) -> jax.Array:
+    """Broadcast a scalar or per-channel vector to a packed (1, L) lane row."""
+    v = jnp.asarray(v)
+    if v.ndim == 0:
+        return jnp.full((1, L), v, dtype)
+    c = v.shape[-1]
+    return jnp.tile(v.reshape(1, c), (1, L // c)).astype(dtype)
+
+
+def _kernel(meta: _Meta, *refs):
+    steps = meta.steps
+    n, hb, H, P, PW, f = meta.n, meta.hb, meta.H, meta.P, meta.PW, meta.f
+    n_steps = len(steps)
+    win_rows = hb + 2 * n
+
+    # ---- unpack positional refs (layout mirrors conv_chain's call) ----
+    it = iter(range(len(refs)))
+    x_hbm = refs[next(it)]
+    res_ref = refs[next(it)] if meta.res_mode == 2 else None
+    step_refs = []
+    for (_, _, has_pre, has_beta) in steps:
+        wk = refs[next(it)]
+        bias = refs[next(it)]
+        alpha = refs[next(it)] if has_pre else None
+        beta = refs[next(it)] if has_beta else None
+        step_refs.append((wk, bias, alpha, beta))
+    out_ref = refs[next(it)]
+    win = refs[next(it)]
+    n_mid = min(2, max(0, n_steps - 1))
+    bufs = [refs[next(it)] for _ in range(n_mid)]
+    act = refs[next(it)] if (meta.res_mode == 1 and steps[0][2]) else None
+    sem = refs[next(it)]
+
+    ni = pl.program_id(0)
+    b = pl.program_id(1)
+    t = ni * meta.nb + b
+
+    # ---- fetch this band's input window (rows b*hb .. +hb+2n of the
+    # zero-padded input; padding supplies the halo and edge groups) ----
+    cp = pltpu.make_async_copy(
+        x_hbm.at[ni, pl.ds(b * hb, win_rows), :, :], win.at[0], sem.at[0]
+    )
+    cp.start()
+
+    @pl.when(t == 0)
+    def _():
+        for bf in bufs:
+            bf[...] = jnp.zeros_like(bf)
+
+    cp.wait()
+
+    def prelu(v, alpha_ref, L):
+        a = alpha_ref[0:1, 0:L]
+        return jnp.where(v >= 0, v, v * a[None, :, :].astype(v.dtype))
+
+    src = win  # level-0 buffer; src_slice gives (ref, lane extent)
+    src_L = steps[0][0]
+    for k, ((Lin, Lout, has_pre, has_beta), (wk, bias, alpha, beta)) in enumerate(
+        zip(steps, step_refs)
+    ):
+        r0 = k                      # valid row extent of level k
+        out_rows = hb + 2 * (n - k - 1)
+        last = k == n_steps - 1
+
+        if has_pre:
+            if k == 0 and meta.res_mode == 1:
+                act[...] = prelu(win[0], alpha, Lin)
+                src_k, idx0 = act, ()
+            elif k == 0:
+                win[0] = prelu(win[0], alpha, Lin)
+                src_k, idx0 = win, (0,)
+            else:
+                src[...] = prelu(src[...], alpha, Lin)
+                src_k, idx0 = src, ()
+        else:
+            src_k, idx0 = src, ((0,) if src is win else ())
+
+        acc = jnp.zeros((out_rows * P, Lout), jnp.float32)
+        for dy in range(3):
+            for gx in range(3):
+                a = src_k[idx0 + (pl.ds(r0 + dy, out_rows), pl.ds(gx, P),
+                                  slice(0, Lin))]
+                acc = acc + jnp.dot(
+                    a.reshape(out_rows * P, Lin), wk[dy * 3 + gx],
+                    preferred_element_type=jnp.float32,
+                )
+
+        y = acc.astype(meta.dtype).reshape(out_rows, P, Lout)
+        y = y + bias[0:1, :][None, :, :].astype(y.dtype)
+
+        if has_beta:
+            prev = src_k[idx0 + (pl.ds(r0 + 1, out_rows), pl.ds(1, P),
+                                 slice(0, Lin))]
+            y = jnp.where(
+                (bv := y * beta[0:1, :][None, :, :].astype(y.dtype) + prev) >= 0,
+                bv, bv * 0.2)
+
+        if not last:
+            # zero out-of-frame rows: they are the NEXT conv's zero padding
+            gi = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1, 1), 0) + (
+                b * hb - n + k + 1
+            )
+            y = jnp.where((gi >= 0) & (gi < H), y, jnp.zeros_like(y))
+            dst = bufs[k % len(bufs)]
+            dst[pl.ds(k + 1, out_rows), pl.ds(1, P), slice(0, Lout)] = y
+            src, src_L = dst, Lout
+        else:
+            if meta.res_mode == 1:
+                y = y + win[0, pl.ds(n, hb), pl.ds(1, P), slice(0, Lout)]
+            elif meta.res_mode == 2:
+                y = y + res_ref[0]
+            out_ref[0] = y
+
+
+def _choose_hb(H: int, n: int, PW: int, lanes: Sequence[int], itemsize: int,
+               budget: int = 7 * 1024 * 1024) -> int | None:
+    """Largest band height fitting the VMEM budget (raw buffer bytes)."""
+    lmax = max(lanes)
+    cands = sorted({d for d in range(4, H + 1) if H % d == 0}, reverse=True)
+    w_bytes = 0  # weights counted by caller; keep headroom instead
+    for hb in cands:
+        rows = hb + 2 * n
+        tot = (
+            rows * PW * lanes[0] * itemsize          # input window
+            + min(2, max(0, len(lanes) - 2)) * rows * PW * lmax * itemsize
+            + hb * PW * lanes[-1] * itemsize * 2     # out block (+res worst)
+            + rows * PW * lanes[0] * itemsize        # act worst case
+            + w_bytes
+        )
+        if tot <= budget:
+            return hb
+    return None
+
+
+def conv_chain(
+    x: jax.Array,
+    steps: Sequence[ChainStep],
+    *,
+    residual: str = "none",
+    res: jax.Array | None = None,
+    hb: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Run a chain of 3x3/stride-1/pad-1 convs fused in one Pallas kernel.
+
+    x: (N, H, W, C0) NHWC.  Channel counts may be any multiple pattern such
+    that ``f * C`` is a multiple of 128 at every level, where
+    ``f = max(1, 128 // min(C))`` is the column packing factor (so levels in
+    {32, 64, 128, 256, ...}; mixed levels like 128 -> 64 -> 64 work with
+    f = 2).  W must be divisible by f and W/f by 8; any H.
+
+    residual: 'none' | 'input' (adds x, requires C_out == C0) | 'extra'
+    (adds ``res``).  Returns (N, H, W, C_out).
+    """
+    N, H, W, C0 = x.shape
+    chs = [C0] + [s.w.shape[3] for s in steps]
+    for s, cin in zip(steps, chs[:-1]):
+        assert s.w.shape[:3] == (3, 3, cin), (s.w.shape, cin)
+        assert s.pre_alpha is None or s.beta is None
+    f = max(1, 128 // min(chs))
+    assert all((f * c) % 128 == 0 for c in chs), (f, chs)
+    assert W % f == 0 and (W // f) % 8 == 0, (W, f)
+    P = W // f
+    PW = _round_up(P + 2, 8)
+    n = len(steps)
+    res_mode = {"none": 0, "input": 1, "extra": 2}[residual]
+    if res_mode == 1:
+        assert chs[-1] == C0
+    dtype = x.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    lanes = [f * c for c in chs]
+
+    if hb is None:
+        hb = _choose_hb(H, n, PW, lanes, itemsize)
+        assert hb is not None, (H, n, PW, lanes)
+    nb = H // hb
+
+    # zero-pad: n halo rows; f pixels left (one zero group), right to PW groups
+    xp = jnp.pad(x, ((0, 0), (n, n), (f, PW * f - W - f), (0, 0)))
+    xp = xp.reshape(N, H + 2 * n, PW, f * C0)
+
+    meta = _Meta(
+        steps=tuple((f * ci, f * co, s.pre_alpha is not None, s.beta is not None)
+                    for s, ci, co in zip(steps, chs[:-1], chs[1:])),
+        f=f, n=n, hb=hb, H=H, P=P, PW=PW, res_mode=res_mode, nb=nb,
+        dtype=dtype,
+    )
+
+    inputs = [xp]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if res_mode == 2:
+        assert res is not None and res.shape == (N, H, W, chs[-1])
+        inputs.append(res.reshape(N, H, P, f * chs[-1]))
+        in_specs.append(
+            pl.BlockSpec((1, hb, P, f * chs[-1]), lambda ni, b: (ni, b, 0, 0))
+        )
+    for s in steps:
+        inputs.append(_phase_weights(s.w, f, dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(_row(s.b, f * s.w.shape[3], dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if s.pre_alpha is not None:
+            inputs.append(_row(s.pre_alpha, f * s.w.shape[2], dtype))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if s.beta is not None:
+            inputs.append(_row(s.beta, f * s.w.shape[3], dtype))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    win_rows = hb + 2 * n
+    lmid = max(lanes[1:-1], default=0)
+    scratch = [pltpu.VMEM((1, win_rows, PW, lanes[0]), dtype)]
+    for _ in range(min(2, max(0, n - 1))):
+        scratch.append(pltpu.VMEM((win_rows, PW, lmid), dtype))
+    if res_mode == 1 and steps[0].pre_alpha is not None:
+        scratch.append(pltpu.VMEM((win_rows, PW, lanes[0]), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((1,)))
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, meta),
+        grid=(N, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hb, P, lanes[-1]), lambda ni, b: (ni, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, P, lanes[-1]), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(N, H, W, chs[-1])

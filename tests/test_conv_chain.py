@@ -1,0 +1,125 @@
+"""Fused conv-chain kernel: parity vs the XLA layer chain (interpret mode).
+
+Covers the two consumer patterns:
+  * GridNet ``_seq_block`` — Sequential(PReLU, Conv, PReLU, Conv) with
+    optional residual (models/model_gmfss/FusionNet.py:7-33);
+  * IFNet ResConv chains — ``leaky_relu(conv(x) * beta + x)`` x depth
+    (models/rife_426_heavy/IFNet_HDv3.py:12-20).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+
+
+def _conv(x, w, b):
+    out = lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return out + b.astype(out.dtype)
+
+
+def _ref_chain(x, steps, residual="none", res=None):
+    y = x
+    for s in steps:
+        inp = y
+        if s.pre_alpha is not None:
+            a = s.pre_alpha.astype(y.dtype)
+            inp = jnp.where(y >= 0, y, y * a)
+        y = _conv(inp, s.w, s.b)
+        if s.beta is not None:
+            y = y * s.beta.astype(y.dtype) + inp
+            y = jnp.where(y >= 0, y, y * 0.2)
+    if residual == "input":
+        y = y + x
+    elif residual == "extra":
+        y = y + res
+    return y
+
+
+def _steps(rng, chs, pre=False, beta=False):
+    steps = []
+    for cin, cout in zip(chs[:-1], chs[1:]):
+        steps.append(ChainStep(
+            w=jnp.asarray(rng.normal(0, 0.1, (3, 3, cin, cout)).astype(np.float32)),
+            b=jnp.asarray(rng.normal(0, 0.5, (cout,)).astype(np.float32)),
+            pre_alpha=jnp.float32(0.25) if pre else None,
+            beta=jnp.asarray(rng.normal(1, 0.2, (cout,)).astype(np.float32))
+            if beta else None,
+        ))
+    return steps
+
+
+def _check(x, steps, residual="none", res=None, hb=None):
+    got = conv_chain(x, steps, residual=residual, res=res, hb=hb,
+                     interpret=True)
+    want = _ref_chain(x, steps, residual=residual, res=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gridnet_seq_block_f2_residual_input():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 32, 64)).astype(np.float32))
+    _check(x, _steps(rng, [64, 64, 64], pre=True), residual="input", hb=8)
+
+
+def test_gridnet_head_f2_cin128_res_extra():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 24, 32, 128)).astype(np.float32))
+    res = jnp.asarray(rng.normal(0, 1, (1, 24, 32, 64)).astype(np.float32))
+    _check(x, _steps(rng, [128, 64, 64], pre=True), residual="extra", res=res,
+           hb=8)
+
+
+def test_gridnet_wide_out_f2_cout256():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 16, 64)).astype(np.float32))
+    steps = _steps(rng, [64, 64, 256])
+    steps[1] = steps[1]._replace(pre_alpha=jnp.float32(0.1))
+    _check(x, steps, hb=4)
+
+
+def test_single_conv_f2():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 16, 64)).astype(np.float32))
+    _check(x, _steps(rng, [64, 64], pre=True), residual="input", hb=4)
+
+
+def test_resconv_chain_f4_c32():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 12, 32, 32)).astype(np.float32))
+    _check(x, _steps(rng, [32] * 9, beta=True), hb=6)
+
+
+def test_resconv_chain_f1_c128():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 10, 16, 128)).astype(np.float32))
+    _check(x, _steps(rng, [128] * 4, beta=True), hb=5)
+
+
+def test_uneven_band_boundaries_match():
+    # band height that doesn't divide 8: halo/mask logic across bands
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (1, 15, 16, 64)).astype(np.float32))
+    _check(x, _steps(rng, [64, 64, 64], pre=True), residual="input", hb=5)
+
+
+def test_bf16_numerics_close():
+    rng = np.random.default_rng(7)
+    x32 = rng.normal(0, 1, (1, 16, 16, 64)).astype(np.float32)
+    steps = _steps(rng, [64, 64, 64], pre=True)
+    x = jnp.asarray(x32, jnp.bfloat16)
+    steps_b = [s._replace(w=s.w.astype(jnp.bfloat16)) for s in steps]
+    got = conv_chain(x, steps_b, residual="input", hb=8, interpret=True)
+    want = _ref_chain(x, steps_b, residual="input")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.1, atol=0.1,
+    )
