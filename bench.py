@@ -76,7 +76,89 @@ def bench_rife(h=1088, w=1920, scale=1.0, n_windows=24):
     return total / (time.perf_counter() - t0)
 
 
-def bench_gmfss(cls_name="gmfss", h=1088, w=1920, scale=1.0, n_windows=6):
+def _pan_flow(b, h, w, dx, dy, jitter, seed, dtype):
+    """Near-rigid pan flow (mirrors tests/test_splat_deviation.py:_pan_flow)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    f = np.broadcast_to(np.asarray([dx, dy], np.float32), (b, h, w, 2)).copy()
+    f += rng.uniform(-jitter, jitter, f.shape).astype(np.float32)
+    return jnp.asarray(f, dtype)
+
+
+def bench_motion(model_name, mag, h=1088, w=1920, n_windows=16):
+    """Window program throughput with INJECTED pan flows of |mag| px/frame.
+
+    The headline configs synthesize frames with an 8 px pan, but with random
+    weights the model's own flow does not track the input pan — and the
+    stencil splat's cost is proportional to the motion actually present in
+    the flow (ops/splat_stencil.py). Flows are explicit inputs of the window
+    program, so this injects rigid pans (+ jitter) at a controlled magnitude
+    into BOTH window sides and times the same program the public path runs.
+    Measured at 8 vs 40 px identically, the delta prices the
+    motion-adaptive kernels honestly (VERDICT r2 item 3).
+    """
+    import jax.numpy as jnp
+    from drba_tpu.config import DEFAULT
+
+    frames = _frames(h, w)
+    sync = _sync()
+    ts_a = jnp.asarray([0.5, 0.9, 1.3], jnp.float32)
+    ts_b = jnp.asarray([0.7, 1.1], jnp.float32)
+    dt = DEFAULT.compute_dtype
+
+    if model_name == "rife":
+        from drba_tpu.models.rife import RIFE, _drba_window
+        from drba_tpu.models.ifnet import ifnet_encode
+
+        model = RIFE(weights=None, scale=1.0, config=DEFAULT)
+        flow10 = _pan_flow(1, h, w, mag, mag * 0.3, 1.5, 0, dt)
+        flow12 = _pan_flow(1, h, w, -mag, -mag * 0.3, 1.5, 1, dt)
+        feats = [ifnet_encode(model.params, f) for f in frames[:3]]
+
+        def run(n):
+            out = None
+            for k in range(n):
+                out = _drba_window(
+                    model.params, frames[k % 2], frames[k % 2 + 1],
+                    frames[k % 2 + 2], ts_a if k % 2 == 0 else ts_b,
+                    flow10, flow12, feats[0], feats[1], feats[2 - k % 2],
+                    model.scale_list, True, "auto", "auto",
+                    DEFAULT.drm_splat_scale, DEFAULT.conv_backend)
+            float(sync(out[-1]))
+            return n * 5 // 2
+    else:
+        from drba_tpu.models.gmfss import GMFSS, _drba_window
+
+        model = GMFSS(weights=None, scale=1.0, config=DEFAULT)
+        # reuse flows live at half resolution: mag/2 there = mag px full-res
+        r10 = model.reuse(frames[1], frames[0])._replace(
+            flow01=_pan_flow(1, h // 2, w // 2, mag / 2, mag * 0.15, 1.5, 0, dt),
+            flow10=_pan_flow(1, h // 2, w // 2, -mag / 2, -mag * 0.15, 1.5, 1, dt),
+        )
+        r12 = model.reuse(frames[1], frames[2])._replace(
+            flow01=_pan_flow(1, h // 2, w // 2, -mag / 2, -mag * 0.15, 1.5, 2, dt),
+            flow10=_pan_flow(1, h // 2, w // 2, mag / 2, mag * 0.15, 1.5, 3, dt),
+        )
+
+        def run(n):
+            out = None
+            for k in range(n):
+                out = _drba_window(
+                    model.params, frames[k % 2], frames[k % 2 + 1],
+                    frames[k % 2 + 2], ts_a if k % 2 == 0 else ts_b,
+                    r10, r12, True, DEFAULT.splat_backend,
+                    DEFAULT.drm_splat_scale, DEFAULT.conv_backend)
+            float(sync(out[-1]))
+            return n * 5 // 2
+
+    run(2)  # compile both ts shapes
+    t0 = time.perf_counter()
+    total = run(n_windows)
+    return total / (time.perf_counter() - t0)
+
+
+def bench_gmfss(cls_name="gmfss", h=1088, w=1920, scale=1.0, n_windows=12):
     from drba_tpu.config import DEFAULT
 
     if cls_name == "gmfss":
@@ -99,6 +181,16 @@ CONFIGS = {
     "gmfss_union": ("gmfss_union 1080p 24->60", lambda: bench_gmfss("gmfss_union")),
     "uhd": ("rife 4K -scale 0.5 24->60",
             lambda: bench_rife(h=2176, w=3840, scale=0.5, n_windows=8)),
+    # window-only programs with INJECTED pan flows (see bench_motion):
+    # the pan-8 rows are the like-for-like baseline for the pan-40 rows
+    "rife_pan8": ("rife window, injected 8px pan",
+                  lambda: bench_motion("rife", 8.0)),
+    "rife_pan40": ("rife window, injected 40px pan (high motion)",
+                   lambda: bench_motion("rife", 40.0)),
+    "gmfss_pan8": ("gmfss window, injected 8px pan",
+                   lambda: bench_motion("gmfss", 8.0)),
+    "gmfss_pan40": ("gmfss window, injected 40px pan (high motion)",
+                    lambda: bench_motion("gmfss", 40.0)),
 }
 
 

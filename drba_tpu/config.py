@@ -33,6 +33,12 @@ class Config:
         (ops/warp_mxu.py) on TPU for shapes it supports and the XLA
         patch-gather otherwise. 'mxu' forces the kernel (tests); 'gather'
         forces the exact XLA path.
+      conv_backend: conv-chain implementation for the large-spatial /
+        small-channel conv blocks (GridNet L0 seq blocks, IFNet ResConv
+        chains): 'auto' | 'xla' | 'pallas'. 'auto' picks the fused Pallas
+        conv-chain kernel (ops/conv_chain.py) on TPU for supported shapes
+        and plain XLA convs otherwise. Numerics match XLA's bf16 conv chain
+        to rounding (see tests/test_conv_chain.py).
       drm_splat_scale: resolution scale of the DRM alignment splats on the
         RIFE path (drm.py:_splat_avg_scaled). DRM maps are smooth ratio
         fields, so 0.5 (default) splats at half resolution — 4x fewer pixels
@@ -53,6 +59,7 @@ class Config:
     flow_scale: float = 1.0
     splat_backend: str = "auto"
     warp_backend: str = "auto"
+    conv_backend: str = "auto"
     drm_splat_scale: float = 0.5
     scdet_threshold: float = 0.3
     seed: int = 0

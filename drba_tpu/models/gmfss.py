@@ -32,31 +32,11 @@ def _select_reuse(left, a: Reuse, b: Reuse) -> Reuse:
     return jax.tree_util.tree_map(lambda x, y: jnp.where(left, x, y), a, b)
 
 
-def _interp_one_t(p: GmfssParams, t, I0, I1, I2, reuse10: Reuse, reuse12: Reuse,
-                  linear, backend):
-    """One timestep of the DRBA window (models/gmfss.py:47-66).
-
-    vmap-safe single-t variant kept for callers that cannot fold the t axis;
-    they must use a vmappable splat backend (not 'stencil')."""
-    tt = jnp.where(t < 1, 1 - t, t - 1)
-    drm = calc_drm_gmfss(
-        tt, reuse10.flow01, reuse12.flow01, reuse10.metric0, reuse12.metric0,
-        linear=linear, backend=backend,
-    )
-    left = t < 1
-    imgB = jnp.where(left, I0, I2)
-    reuse = _select_reuse(left, reuse10, reuse12)
-    t0 = jnp.where(left, drm.drm1t_t01, drm.drm1t_t12)
-    t1 = jnp.where(left, drm.drm0t_t01, drm.drm2t_t12)
-
-    out = gmfss_inference(p, I1, imgB, reuse, t0.astype(I1.dtype),
-                          t1.astype(I1.dtype), backend=backend)
-    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
-
-
-@functools.partial(jax.jit, static_argnames=("linear", "backend", "drm_splat_scale"))
+@functools.partial(jax.jit, static_argnames=("linear", "backend",
+                                             "drm_splat_scale", "conv_backend"))
 def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
-                 linear, backend="auto", drm_splat_scale=1.0):
+                 linear, backend="auto", drm_splat_scale=1.0,
+                 conv_backend="auto"):
     """All T timesteps as ONE batched program, T folded into the batch axis.
 
     Explicit batching (not vmap) so the T GridNet/conv evaluations run as one
@@ -78,7 +58,8 @@ def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
     t1 = jnp.where(left, drm.drm0t_t01, drm.drm2t_t12)
 
     out = gmfss_inference(p, I1b, imgB, reuse, t0.astype(I1.dtype),
-                          t1.astype(I1.dtype), backend=backend)
+                          t1.astype(I1.dtype), backend=backend,
+                          conv_backend=conv_backend)
     tb = ts[:, None, None, None]
     out = jnp.where(tb == 0, I0, jnp.where(tb == 1, I1,
                     jnp.where(tb == 2, I2, out)))
@@ -88,22 +69,23 @@ def _drba_window(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse, reuse12: Reuse,
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "linear", "backend", "warp_backend",
-                     "drm_splat_scale"),
+                     "drm_splat_scale", "conv_backend"),
 )
 def _drba_window_fused(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse,
                        scale, linear, backend="auto", warp_backend="auto",
-                       drm_splat_scale=1.0):
+                       drm_splat_scale=1.0, conv_backend="auto"):
     """One dispatch per window: reuse(I1, I2) + the full timestep batch in a
     single XLA program. Returns (frames, reuse12)."""
     reuse12 = gmfss_reuse(p, I1, I2, scale=scale, union=False,
                           warp_backend=warp_backend, feat0=reuse10.feat0)
     out = _drba_window(p, I0, I1, I2, ts, reuse10, reuse12, linear, backend,
-                       drm_splat_scale)
+                       drm_splat_scale, conv_backend)
     return out, reuse12
 
 
-@functools.partial(jax.jit, static_argnames=("backend",))
-def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse, backend="auto"):
+@functools.partial(jax.jit, static_argnames=("backend", "conv_backend"))
+def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse, backend="auto",
+              conv_backend="auto"):
     """Plain interpolation at T timesteps, T folded into the batch axis."""
     T = ts.shape[0]
     I0b = jnp.broadcast_to(I0, (T,) + I0.shape[1:])
@@ -112,7 +94,8 @@ def _ts_batch(p: GmfssParams, I0, I1, ts, reuse: Reuse, backend="auto"):
         lambda x: jnp.broadcast_to(x, (T,) + x.shape[1:]), reuse
     )
     tcol = ts[:, None, None, None].astype(I0.dtype)
-    out = gmfss_inference(p, I0b, I1b, reuse_b, tcol, 1 - tcol, backend=backend)
+    out = gmfss_inference(p, I0b, I1b, reuse_b, tcol, 1 - tcol, backend=backend,
+                          conv_backend=conv_backend)
     tb = ts[:, None, None, None]
     return jnp.where(tb == 0, I0, jnp.where(tb == 1, I1, out))[:, None]
 
@@ -144,7 +127,8 @@ class GMFSS:
             return []
         reuse = self.reuse(I0, I1)
         out = _ts_batch(self.params, I0, I1, jnp.asarray(ts, jnp.float32), reuse,
-                        backend=self.config.splat_backend)
+                        backend=self.config.splat_backend,
+                        conv_backend=self.config.conv_backend)
         return [out[i] for i in range(len(ts))]
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
@@ -160,6 +144,7 @@ class GMFSS:
             self.params, I0, I1, I2, jnp.asarray(ts, jnp.float32), reuse10,
             self.scale, linear, self.config.splat_backend,
             self.config.warp_backend, self.config.drm_splat_scale,
+            self.config.conv_backend,
         )
         frames = [out[i] for i in range(len(ts))]
 

@@ -122,7 +122,7 @@ def _warp_pyramid(img_h, feats, Ft, Zt, extra=None, backend="auto"):
 
 
 def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1,
-                    backend: str = "auto"):
+                    backend: str = "auto", conv_backend: str = "auto"):
     """Model.inference (model_gmfss/GMFSS.py:83-190): splat-and-fuse."""
     F1t = timestep0 * reuse.flow01
     F2t = timestep1 * reuse.flow10
@@ -141,6 +141,7 @@ def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timeste
         jnp.concatenate([f1[0], f2[0]], axis=-1),
         jnp.concatenate([f1[1], f2[1]], axis=-1),
         jnp.concatenate([f1[2], f2[2]], axis=-1),
+        conv_backend=conv_backend,
     )
     return jnp.clip(out, 0.0, 1.0)
 
@@ -148,6 +149,7 @@ def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timeste
 def gmfss_union_inference(
     p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1, rife,
     enable_mask: bool = True, backend: str = "auto",
+    conv_backend: str = "auto",
 ):
     """Union Model.inference (model_gmfss_union/GMFSS.py:80-155): GridNet head
     consumes cat(I1t, rife, I2t); the timestep-swap mask kills ghosting where
@@ -201,5 +203,6 @@ def gmfss_union_inference(
         jnp.concatenate([f1[1], f2[1]], axis=-1),
         jnp.concatenate([f1[2], f2[2]], axis=-1),
         union=True,
+        conv_backend=conv_backend,
     )
     return jnp.clip(out, 0.0, 1.0)

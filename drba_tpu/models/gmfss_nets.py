@@ -247,8 +247,106 @@ def _seq_block(p: Params, prefix, x, stride=1, transpose=False):
     return conv2d(p, f"{prefix}.3", prelu(p, f"{prefix}.2", y), stride=1, padding=1)
 
 
-def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False):
+def _use_conv_chain(conv_backend: str, h: int, w: int) -> bool:
+    """Whether the fused Pallas conv-chain kernel handles the L0 blocks.
+
+    The kernel packs 2 pixel columns into the 128-lane dim, so W must be
+    even and W/2 a multiple of 8. Like the other Pallas kernels it must
+    not be traced under vmap (models batch explicitly)."""
+    shapes_ok = w % 16 == 0 and h % 4 == 0
+    if conv_backend == "pallas":
+        return shapes_ok
+    if conv_backend == "auto":
+        import jax as _jax
+
+        return shapes_ok and _jax.default_backend() != "cpu"
+    return False
+
+
+def _chain_step(p: Params, prefix: str, i: int, cin_pad: int | None = None):
+    """ChainStep for conv ``{prefix}.{i}`` with pre-PReLU ``{prefix}.{i-1}``."""
+    from drba_tpu.ops.conv_chain import ChainStep
+
+    w = p[f"{prefix}.{i}.weight"]
+    if cin_pad is not None and w.shape[2] < cin_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]), (0, 0)))
+    return ChainStep(w=w, b=p[f"{prefix}.{i}.bias"],
+                     pre_alpha=p.get(f"{prefix}.{i - 1}.weight"))
+
+
+def _seq_chain(p: Params, prefix: str, x, residual="none", res=None,
+               cin_pad=None):
+    """``_seq_block`` via ONE fused Pallas invocation (ops/conv_chain.py)."""
+    from drba_tpu.ops.conv_chain import conv_chain
+
+    steps = [_chain_step(p, prefix, 1, cin_pad=cin_pad),
+             _chain_step(p, prefix, 3)]
+    return conv_chain(x, steps, residual=residual, res=res)
+
+
+def _gridnet_fused(p: Params, x, x1, x2, x3, union: bool):
+    """GridNet with the L0 (H/2 x W/2, 64ch) seq blocks fused into Pallas
+    conv-chain invocations — the geometry XLA's conv lowering runs at
+    ~12 TF/s (docs/ROADMAP.md). The L1/L2 lattice and all stride-2 /
+    transposed convs stay on XLA (measured fine there)."""
+    from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+
+    head0 = "residual_model_head0" if union else "residual_model_head"
+    cin = x.shape[-1]
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 64 - cin)))
+    h0 = _seq_chain(p, head0, xpad, cin_pad=64)
+    X00 = _seq_chain(p, "residual_model_head1", x1, residual="extra", res=h0)
+    X01 = _seq_chain(p, "residual_model_01", X00, residual="input")
+
+    X10 = _seq_block(p, "downsample_model_10", X00, stride=2) + _seq_block(
+        p, "residual_model_head2", x2
+    )
+    X20 = _seq_block(p, "downsample_model_20", X10, stride=2) + _seq_block(
+        p, "residual_model_head3", x3
+    )
+    X11 = (_seq_block(p, "residual_model_11", X10) + X10) + _seq_block(
+        p, "downsample_model_11", X01, stride=2
+    )
+    X21 = (_seq_block(p, "residual_model_21", X20) + X20) + _seq_block(
+        p, "downsample_model_21", X11, stride=2
+    )
+    X24 = _seq_block(p, "residual_model_24", X21) + X21
+    X25 = _seq_block(p, "residual_model_25", X24) + X24
+    X14 = _seq_block(p, "upsample_model_14", X24, transpose=True) + (
+        _seq_block(p, "residual_model_14", X11) + X11
+    )
+
+    def up_l0(name, src, res):
+        # transposed conv on XLA, then its trailing conv fused w/ the sum
+        t = conv_transpose2d(p, f"{name}.1", prelu(p, f"{name}.0", src),
+                             stride=2, padding=1)
+        return conv_chain(t, [_chain_step(p, name, 3)], residual="extra",
+                          res=res)
+
+    R04 = _seq_chain(p, "residual_model_04", X01, residual="input")
+    X04 = up_l0("upsample_model_04", X14, R04)
+    X15 = _seq_block(p, "upsample_model_15", X25, transpose=True) + (
+        _seq_block(p, "residual_model_15", X14) + X14
+    )
+    R05 = _seq_chain(p, "residual_model_05", X04, residual="input")
+    X05 = up_l0("upsample_model_05", X15, R05)
+
+    tail = conv_chain(X05, [
+        ChainStep(w=p["residual_model_tail.conv_before_upsample.0.weight"],
+                  b=p["residual_model_tail.conv_before_upsample.0.bias"]),
+        ChainStep(w=p["residual_model_tail.upsample.0.weight"],
+                  b=p["residual_model_tail.upsample.0.bias"],
+                  pre_alpha=p["residual_model_tail.conv_before_upsample.1.weight"]),
+    ])
+    t = pixel_shuffle(tail, 2)
+    return conv2d(p, "residual_model_tail.conv_last", t, padding=1)
+
+
+def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False,
+                  conv_backend: str = "auto"):
     """GridNet lattice (model_gmfss/FusionNet.py:106-145)."""
+    if _use_conv_chain(conv_backend, x.shape[1], x.shape[2]):
+        return _gridnet_fused(p, x, x1, x2, x3, union)
     head0 = "residual_model_head0" if union else "residual_model_head"
     X00 = _seq_block(p, head0, x) + _seq_block(p, "residual_model_head1", x1)
     X01 = _seq_block(p, "residual_model_01", X00) + X00

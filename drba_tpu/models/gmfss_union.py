@@ -34,47 +34,14 @@ from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply
 from drba_tpu.ops.resize import resize_bilinear, scale_by
 
 
-def _interp_one_t(p: GmfssParams, rife_params, t, I0, I1, I2,
-                  reuse10: Reuse, reuse12: Reuse, scale_list, linear, backend):
-    """vmap-safe single-t variant (callers must use a vmappable splat
-    backend, not 'stencil', and the gather warp)."""
-    tt = jnp.where(t < 1, 1 - t, t - 1)
-    flow10, flow12 = reuse10.flow01, reuse12.flow01
-    metric10, metric12 = reuse10.metric0, reuse12.metric0
-
-    drm_g = calc_drm_gmfss(tt, flow10, flow12, metric10, metric12,
-                           linear=linear, backend=backend)
-    drm_r = calc_drm_rife_auxiliary(tt, flow10, flow12, metric10, metric12,
-                                    linear=linear, backend=backend)
-
-    left = t < 1
-    imgB = jnp.where(left, I0, I2)
-    reuse = _select_reuse(left, reuse10, reuse12)
-    t0 = jnp.where(left, drm_g.drm1t_t01, drm_g.drm1t_t12)
-    t1 = jnp.where(left, drm_g.drm0t_t01, drm_g.drm2t_t12)
-    drm_rife = jnp.where(left, drm_r.drm_t1_t01, drm_r.drm_t1_t12)
-
-    # auxiliary RIFE at half resolution (models/gmfss_union.py:72-74)
-    I1s = scale_by(I1, 0.5)
-    IBs = scale_by(imgB, 0.5)
-    ts_map = resize_bilinear(drm_rife, (I1s.shape[1], I1s.shape[2]))
-    rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype),
-                          scale_list, warp_backend="gather")
-
-    out = gmfss_union_inference(
-        p, I1, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype), rife,
-        backend=backend,
-    )
-    return jnp.where(t == 0, I0, jnp.where(t == 1, I1, jnp.where(t == 2, I2, out)))
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("scale_list", "linear", "backend", "warp_backend",
-                     "drm_splat_scale"),
+                     "drm_splat_scale", "conv_backend"),
 )
 def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
-                 linear, backend="auto", warp_backend="auto", drm_splat_scale=1.0):
+                 linear, backend="auto", warp_backend="auto",
+                 drm_splat_scale=1.0, conv_backend="auto"):
     """All T timesteps as ONE batched program, T folded into the batch axis
     (explicit batching — see models/gmfss.py). The aux RIFE runs as one
     batched IFNet call and may use the MXU warp kernel (never possible under
@@ -104,11 +71,12 @@ def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
     IBs = scale_by(imgB, 0.5)
     ts_map = resize_bilinear(drm_rife, (I1s.shape[1], I1s.shape[2]))
     rife, _ = ifnet_apply(rife_params, I1s, IBs, ts_map.astype(I1s.dtype),
-                          scale_list, warp_backend=warp_backend)
+                          scale_list, warp_backend=warp_backend,
+                          conv_backend=conv_backend)
 
     out = gmfss_union_inference(
         p, I1b, imgB, reuse, t0.astype(I1.dtype), t1.astype(I1.dtype), rife,
-        backend=backend,
+        backend=backend, conv_backend=conv_backend,
     )
     tb = ts[:, None, None, None]
     out = jnp.where(tb == 0, I0, jnp.where(tb == 1, I1,
@@ -119,26 +87,28 @@ def _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12, scale_list,
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "scale_list", "linear", "backend",
-                     "warp_backend", "drm_splat_scale"),
+                     "warp_backend", "drm_splat_scale", "conv_backend"),
 )
 def _drba_window_fused(p, rife_params, I0, I1, I2, ts, reuse10: Reuse,
                        scale, scale_list, linear, backend="auto",
-                       warp_backend="auto", drm_splat_scale=1.0):
+                       warp_backend="auto", drm_splat_scale=1.0,
+                       conv_backend="auto"):
     """One dispatch per window: reuse(I1, I2) + the full timestep batch in a
     single XLA program. Returns (frames, reuse12)."""
     reuse12 = gmfss_reuse(p, I1, I2, scale=scale, union=True,
                           warp_backend=warp_backend, feat0=reuse10.feat0)
     out = _drba_window(p, rife_params, I0, I1, I2, ts, reuse10, reuse12,
                        scale_list, linear, backend, warp_backend,
-                       drm_splat_scale)
+                       drm_splat_scale, conv_backend)
     return out, reuse12
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale_list", "backend", "warp_backend")
+    jax.jit, static_argnames=("scale_list", "backend", "warp_backend",
+                              "conv_backend")
 )
 def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list, backend="auto",
-              warp_backend="auto"):
+              warp_backend="auto", conv_backend="auto"):
     """Plain interpolation at T timesteps, T folded into the batch axis."""
     T = ts.shape[0]
     I0b = jnp.broadcast_to(I0, (T,) + I0.shape[1:])
@@ -150,10 +120,12 @@ def _ts_batch(p, rife_params, I0, I1, ts, reuse, scale_list, backend="auto",
     I1s = scale_by(I1b, 0.5)
     tmap = jnp.full_like(I0s[..., :1], 0.0) + ts[:, None, None, None]
     rife, _ = ifnet_apply(rife_params, I0s, I1s, tmap.astype(I0s.dtype),
-                          scale_list, warp_backend=warp_backend)
+                          scale_list, warp_backend=warp_backend,
+                          conv_backend=conv_backend)
     tcol = ts[:, None, None, None].astype(I0.dtype)
     out = gmfss_union_inference(p, I0b, I1b, reuse_b, tcol, 1 - tcol, rife,
-                                enable_mask=False, backend=backend)
+                                enable_mask=False, backend=backend,
+                                conv_backend=conv_backend)
     tb = ts[:, None, None, None]
     return jnp.where(tb == 0, I0, jnp.where(tb == 1, I1, out))[:, None]
 
@@ -191,6 +163,7 @@ class GMFSS_UNION:
             jnp.asarray(ts, jnp.float32), reuse, self.scale_list,
             backend=self.config.splat_backend,
             warp_backend=self.config.warp_backend,
+            conv_backend=self.config.conv_backend,
         )
         return [out[i] for i in range(len(ts))]
 
@@ -208,6 +181,7 @@ class GMFSS_UNION:
             jnp.asarray(ts, jnp.float32), reuse10,
             self.scale, self.scale_list, linear, self.config.splat_backend,
             self.config.warp_backend, self.config.drm_splat_scale,
+            self.config.conv_backend,
         )
         frames = [out[i] for i in range(len(ts))]
 

@@ -151,9 +151,71 @@ def _backwarp2(a, b, flow4, use_mxu: bool):
     return backwarp(a, flow4[..., 0:2]), backwarp(b, flow4[..., 2:4])
 
 
+# max convs per fused chain invocation: halo redundancy is (hb+2n)/hb rows,
+# so splitting the 8x ResConv run bounds the recompute while still
+# amortizing the per-invocation tax over 4 convs + epilogues
+_RESCONV_SPLIT = 4
+
+
+def _use_resconv_chain(conv_backend: str, c: int, w: int) -> bool:
+    """Whether the fused conv-chain kernel handles this ResConv geometry.
+
+    c=96 runs channel-padded to 128; c=192 (block0) and non-8-multiple
+    packed widths (block1 at 1080p) stay on XLA — both are tiny."""
+    cpad = 128 if c == 96 else c
+    f = max(1, 128 // cpad)
+    shapes_ok = (f * cpad) % 128 == 0 and w % f == 0 and (w // f) % 8 == 0
+    if conv_backend == "pallas":
+        return shapes_ok
+    if conv_backend == "auto":
+        import jax as _jax
+
+        return shapes_ok and _jax.default_backend() != "cpu"
+    return False
+
+
+def _resconv_chain(p: Params, b: str, feat: jax.Array, conv_backend: str):
+    """8x ResConv ``leaky(conv(x) * beta + x)`` (IFNet_HDv3.py:12-20,71).
+
+    Fused path: the whole run executes as conv-chain kernel invocations of
+    ``_RESCONV_SPLIT`` convs each — intermediates stay in VMEM, bias/beta/
+    leaky epilogues fuse with the matmuls (ops/conv_chain.py)."""
+    c = feat.shape[-1]
+    if not _use_resconv_chain(conv_backend, c, feat.shape[2]):
+        for j in range(8):
+            beta = p[f"{b}.convblock.{j}.beta"].astype(feat.dtype)
+            feat = leaky_relu(
+                conv2d(p, f"{b}.convblock.{j}.conv", feat, padding=1) * beta + feat
+            )
+        return feat
+
+    from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+
+    cpad = 128 if c == 96 else c
+    x = feat
+    if cpad != c:
+        # zero-padded channels stay zero through the chain: conv taps and
+        # bias are zero there, and leaky(0 * beta + 0) == 0
+        x = jnp.pad(feat, ((0, 0), (0, 0), (0, 0), (0, cpad - c)))
+    steps = []
+    for j in range(8):
+        w = p[f"{b}.convblock.{j}.conv.weight"]
+        bb = p[f"{b}.convblock.{j}.conv.bias"]
+        beta = p[f"{b}.convblock.{j}.beta"]
+        if cpad != c:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, cpad - c), (0, cpad - c)))
+            bb = jnp.pad(bb, (0, cpad - c))
+            beta = jnp.pad(beta, (0, cpad - c))
+        steps.append(ChainStep(w=w, b=bb, beta=beta))
+    for k in range(0, 8, _RESCONV_SPLIT):
+        x = conv_chain(x, steps[k : k + _RESCONV_SPLIT])
+    return x[..., :c] if cpad != c else x
+
+
 def ifnet_block(
     p: Params, idx: int, x: jax.Array, flow: jax.Array | None, scale: float,
     x_at_scale: bool = False, out_size: tuple[int, int] | None = None,
+    conv_backend: str = "auto",
 ):
     """One IFBlock at pyramid scale ``scale`` (IFNet_HDv3.py:84-96).
 
@@ -175,9 +237,7 @@ def ifnet_block(
 
     feat = leaky_relu(conv2d(p, f"{b}.conv0.0.0", x, stride=2, padding=1))
     feat = leaky_relu(conv2d(p, f"{b}.conv0.1.0", feat, stride=2, padding=1))
-    for j in range(8):
-        beta = p[f"{b}.convblock.{j}.beta"].astype(feat.dtype)
-        feat = leaky_relu(conv2d(p, f"{b}.convblock.{j}.conv", feat, padding=1) * beta + feat)
+    feat = _resconv_chain(p, b, feat, conv_backend)
     tmp = conv_transpose2d(p, f"{b}.lastconv.0", feat, stride=2, padding=1)
     tmp = pixel_shuffle(tmp, 2)
     tmp = resize_bilinear(tmp, (h, w))
@@ -196,6 +256,7 @@ def ifnet_apply(
     f0: jax.Array | None = None,
     f1: jax.Array | None = None,
     warp_backend: str = "auto",
+    conv_backend: str = "auto",
 ):
     """Full 5-stage inference (IFNet_HDv3.py:126-177).
 
@@ -226,7 +287,8 @@ def ifnet_apply(
     for i in range(5):
         if flow is None:
             x = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, timestep], axis=-1)
-            flow, mask, feat = ifnet_block(p, i, x, None, scale_list[i])
+            flow, mask, feat = ifnet_block(p, i, x, None, scale_list[i],
+                                           conv_backend=conv_backend)
         else:
             sc = scale_list[i]
             ki = int(sc) if float(sc).is_integer() and sc >= 2 and h % int(sc) == 0 and w % int(sc) == 0 else None
@@ -246,7 +308,8 @@ def ifnet_apply(
                     [w0[..., :3], w1[..., :3], w0[..., 3:], w1[..., 3:], rest], axis=-1
                 )
                 fd, mask, feat = ifnet_block(
-                    p, i, x, flow, sc, x_at_scale=True, out_size=(h, w)
+                    p, i, x, flow, sc, x_at_scale=True, out_size=(h, w),
+                    conv_backend=conv_backend,
                 )
             elif ki == 2:  # MXU warp at full res + exact 2x downsample
                 wf0, wf1 = _backwarp2(
@@ -263,7 +326,8 @@ def ifnet_apply(
                     [w0[..., :3], w1[..., :3], w0[..., 3:], w1[..., 3:], rest], axis=-1
                 )
                 fd, mask, feat = ifnet_block(
-                    p, i, x, flow, sc, x_at_scale=True, out_size=(h, w)
+                    p, i, x, flow, sc, x_at_scale=True, out_size=(h, w),
+                    conv_backend=conv_backend,
                 )
             else:
                 wf0, wf1 = _backwarp2(
@@ -275,7 +339,8 @@ def ifnet_apply(
                     [wf0[..., :3], wf1[..., :3], wf0[..., 3:], wf1[..., 3:], timestep, mask, feat],
                     axis=-1,
                 )
-                fd, mask, feat = ifnet_block(p, i, x, flow, sc)
+                fd, mask, feat = ifnet_block(p, i, x, flow, sc,
+                                             conv_backend=conv_backend)
             flow = flow + fd
         flow_list.append(flow)
 

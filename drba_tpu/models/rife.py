@@ -36,13 +36,14 @@ from drba_tpu.ops import softsplat
 
 
 def _calc_flow(params, a, b, scale0: float, f0=None, f1=None,
-               splat_backend: str = "auto"):
+               splat_backend: str = "auto", conv_backend: str = "auto"):
     """Bidirectional full-step flow between a and b (models/rife.py:41-75)."""
     timestep = jnp.full_like(a[..., :1], 0.5)
     f0 = ifnet_encode(params, a[..., :3]) if f0 is None else f0
     f1 = ifnet_encode(params, b[..., :3]) if f1 is None else f1
     x = jnp.concatenate([a[..., :3], b[..., :3], f0, f1, timestep], axis=-1)
-    flow, _, _ = ifnet_block(params, 0, x, None, scale0)
+    flow, _, _ = ifnet_block(params, 0, x, None, scale0,
+                             conv_backend=conv_backend)
 
     flow50 = flow[..., 0:2]  # flow from t=0.5 toward a
     flow51 = flow[..., 2:4]  # flow from t=0.5 toward b
@@ -97,11 +98,11 @@ def _interp_one_t(params, t, I0, I1, I2, flow10, flow12, f0, f1, f2,
 @functools.partial(
     jax.jit,
     static_argnames=("scale_list", "linear", "splat_backend", "warp_backend",
-                     "drm_splat_scale"),
+                     "drm_splat_scale", "conv_backend"),
 )
 def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
                  scale_list, linear, splat_backend="auto", warp_backend="auto",
-                 drm_splat_scale=1.0):
+                 drm_splat_scale=1.0, conv_backend="auto"):
     """All timesteps of one 3-frame window as a single batched XLA program.
 
     The per-t DRM maps are vmapped; the T IFNet evaluations then run as ONE
@@ -136,6 +137,7 @@ def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
     out, _ = ifnet_apply(
         params, tile(I1), fold(imgB), fold(drm_map).astype(I1.dtype),
         scale_list, f0=tile(f1), f1=fold(fB), warp_backend=warp_backend,
+        conv_backend=conv_backend,
     )
     out = out.reshape((T, n, h, w, 3))
 
@@ -149,28 +151,33 @@ def _drba_window(params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
 @functools.partial(
     jax.jit,
     static_argnames=("scale_list", "linear", "splat_backend", "warp_backend",
-                     "drm_splat_scale"),
+                     "drm_splat_scale", "conv_backend"),
 )
 def _drba_window_fused(params, I0, I1, I2, ts, flow10, f0, f1,
                        scale_list, linear, splat_backend="auto",
-                       warp_backend="auto", drm_splat_scale=1.0):
+                       warp_backend="auto", drm_splat_scale=1.0,
+                       conv_backend="auto"):
     """One dispatch per window: the I1<->I2 flow pass and the full timestep
     batch compile into a single XLA program (saves a ~4 ms program dispatch
     and the HBM round-trip of flows/features between programs). Returns
     (frames, flow12, flow21, f2) — the last three thread the reuse chain.
     """
     flow12, flow21, _, f2 = _calc_flow(
-        params, I1, I2, scale_list[0], f0=f1, splat_backend=splat_backend
+        params, I1, I2, scale_list[0], f0=f1, splat_backend=splat_backend,
+        conv_backend=conv_backend,
     )
     out = _drba_window(
         params, I0, I1, I2, ts, flow10, flow12, f0, f1, f2,
         scale_list, linear, splat_backend, warp_backend, drm_splat_scale,
+        conv_backend,
     )
     return out, flow12, flow21, f2
 
 
-@functools.partial(jax.jit, static_argnames=("scale_list", "warp_backend"))
-def _ts_batch(params, I0, I1, ts, scale_list, warp_backend="auto"):
+@functools.partial(jax.jit, static_argnames=("scale_list", "warp_backend",
+                                             "conv_backend"))
+def _ts_batch(params, I0, I1, ts, scale_list, warp_backend="auto",
+              conv_backend="auto"):
     """Plain interpolation at T timesteps, T folded into the batch axis."""
     T = ts.shape[0]
     n, h, w, _ = I0.shape
@@ -185,14 +192,15 @@ def _ts_batch(params, I0, I1, ts, scale_list, warp_backend="auto"):
     ).reshape(T * n, h, w, 1)
     out, _ = ifnet_apply(
         params, tile(I0), tile(I1), tmap.astype(I0.dtype), scale_list,
-        warp_backend=warp_backend,
+        warp_backend=warp_backend, conv_backend=conv_backend,
     )
     out = out.reshape((T, n, h, w, 3))
     tb = ts[:, None, None, None, None]
     return jnp.where(tb == 0, I0[None], jnp.where(tb == 1, I1[None], out))
 
 
-_flow_jit = jax.jit(_calc_flow, static_argnames=("scale0", "splat_backend"))
+_flow_jit = jax.jit(_calc_flow,
+                    static_argnames=("scale0", "splat_backend", "conv_backend"))
 
 
 class RIFE:
@@ -209,7 +217,8 @@ class RIFE:
     # -- internal ----------------------------------------------------------
     def _calc_flow(self, a, b, f0=None, f1=None):
         return _flow_jit(self.params, a, b, scale0=self.scale_list[0], f0=f0, f1=f1,
-                         splat_backend=self.config.splat_backend)
+                         splat_backend=self.config.splat_backend,
+                         conv_backend=self.config.conv_backend)
 
     # -- public API --------------------------------------------------------
     def inference_ts(self, I0, I1, ts: Sequence[float]):
@@ -218,7 +227,8 @@ class RIFE:
             return []
         tsv = jnp.asarray(ts, jnp.float32)
         out = _ts_batch(self.params, I0, I1, tsv, self.scale_list,
-                        warp_backend=self.config.warp_backend)
+                        warp_backend=self.config.warp_backend,
+                        conv_backend=self.config.conv_backend)
         return [out[i] for i in range(len(ts))]
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
@@ -243,6 +253,7 @@ class RIFE:
             self.params, I0, I1, I2, tsv, flow10, f0, f1,
             self.scale_list, linear, self.config.splat_backend,
             self.config.warp_backend, self.config.drm_splat_scale,
+            self.config.conv_backend,
         )
         frames = [out[i] for i in range(len(ts))]
 

@@ -125,7 +125,6 @@ def _kernel(meta: _Meta, *refs):
     win = refs[next(it)]
     n_mid = min(2, max(0, n_steps - 1))
     bufs = [refs[next(it)] for _ in range(n_mid)]
-    act = refs[next(it)] if (meta.res_mode == 1 and steps[0][2]) else None
     sem = refs[next(it)]
 
     ni = pl.program_id(0)
@@ -146,12 +145,18 @@ def _kernel(meta: _Meta, *refs):
 
     cp.wait()
 
-    def prelu(v, alpha_ref, L):
-        a = alpha_ref[0:1, 0:L]
-        return jnp.where(v >= 0, v, v * a[None, :, :].astype(v.dtype))
+    if meta.res_mode == 1:
+        # snapshot the residual rows into the out block BEFORE any in-place
+        # activation of the window corrupts them — zero extra VMEM
+        out_ref[0] = win[0, pl.ds(n, hb), pl.ds(1, P), slice(0, steps[-1][1])]
 
-    src = win  # level-0 buffer; src_slice gives (ref, lane extent)
-    src_L = steps[0][0]
+    def prelu(v, alpha_ref, L):
+        # comparison in f32: Mosaic on v5e rejects bf16 cmpf
+        a = alpha_ref[0:1, 0:L]
+        return jnp.where(v.astype(jnp.float32) >= 0, v,
+                         v * a[None, :, :].astype(v.dtype))
+
+    src = win  # level-0 buffer
     for k, ((Lin, Lout, has_pre, has_beta), (wk, bias, alpha, beta)) in enumerate(
         zip(steps, step_refs)
     ):
@@ -160,17 +165,11 @@ def _kernel(meta: _Meta, *refs):
         last = k == n_steps - 1
 
         if has_pre:
-            if k == 0 and meta.res_mode == 1:
-                act[...] = prelu(win[0], alpha, Lin)
-                src_k, idx0 = act, ()
-            elif k == 0:
+            if k == 0:
                 win[0] = prelu(win[0], alpha, Lin)
-                src_k, idx0 = win, (0,)
             else:
                 src[...] = prelu(src[...], alpha, Lin)
-                src_k, idx0 = src, ()
-        else:
-            src_k, idx0 = src, ((0,) if src is win else ())
+        src_k, idx0 = src, ((0,) if src is win else ())
 
         acc = jnp.zeros((out_rows * P, Lout), jnp.float32)
         for dy in range(3):
@@ -188,9 +187,8 @@ def _kernel(meta: _Meta, *refs):
         if has_beta:
             prev = src_k[idx0 + (pl.ds(r0 + 1, out_rows), pl.ds(1, P),
                                  slice(0, Lin))]
-            y = jnp.where(
-                (bv := y * beta[0:1, :][None, :, :].astype(y.dtype) + prev) >= 0,
-                bv, bv * 0.2)
+            bv = y * beta[0:1, :][None, :, :].astype(y.dtype) + prev
+            y = jnp.where(bv.astype(jnp.float32) >= 0, bv, bv * 0.2)
 
         if not last:
             # zero out-of-frame rows: they are the NEXT conv's zero padding
@@ -200,28 +198,37 @@ def _kernel(meta: _Meta, *refs):
             y = jnp.where((gi >= 0) & (gi < H), y, jnp.zeros_like(y))
             dst = bufs[k % len(bufs)]
             dst[pl.ds(k + 1, out_rows), pl.ds(1, P), slice(0, Lout)] = y
-            src, src_L = dst, Lout
+            src = dst
         else:
             if meta.res_mode == 1:
-                y = y + win[0, pl.ds(n, hb), pl.ds(1, P), slice(0, Lout)]
+                y = y + out_ref[0]  # residual snapshot taken at entry
             elif meta.res_mode == 2:
                 y = y + res_ref[0]
             out_ref[0] = y
 
 
+# Raw-buffer VMEM budget per grid step. Mosaic's scoped-vmem stack runs ~2x
+# the raw footprint; the kernel raises the scoped limit to _VMEM_LIMIT (v5e
+# has 128 MiB of physical VMEM — the 16 MiB scoped default is just a compiler
+# flag), so the effective ceiling is _VMEM_LIMIT / 2. Fewer, larger grid
+# steps win: the measured per-step fixed cost is ~40-50 us.
+_VMEM_BUDGET = 40 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def _choose_hb(H: int, n: int, PW: int, lanes: Sequence[int], itemsize: int,
-               budget: int = 7 * 1024 * 1024) -> int | None:
+               has_res: bool, w_bytes: int,
+               budget: int = _VMEM_BUDGET) -> int | None:
     """Largest band height fitting the VMEM budget (raw buffer bytes)."""
-    lmax = max(lanes)
+    lmid = max(lanes[1:-1], default=0)
     cands = sorted({d for d in range(4, H + 1) if H % d == 0}, reverse=True)
-    w_bytes = 0  # weights counted by caller; keep headroom instead
     for hb in cands:
         rows = hb + 2 * n
         tot = (
-            rows * PW * lanes[0] * itemsize          # input window
-            + min(2, max(0, len(lanes) - 2)) * rows * PW * lmax * itemsize
-            + hb * PW * lanes[-1] * itemsize * 2     # out block (+res worst)
-            + rows * PW * lanes[0] * itemsize        # act worst case
+            rows * PW * lanes[0] * itemsize                      # input window
+            + min(2, max(0, n - 1)) * rows * PW * lmid * itemsize  # mid bufs
+            + 2 * hb * PW * lanes[-1] * itemsize                 # out (piped)
+            + (2 * hb * PW * lanes[-1] * itemsize if has_res == 2 else 0)
             + w_bytes
         )
         if tot <= budget:
@@ -268,7 +275,9 @@ def conv_chain(
     lanes = [f * c for c in chs]
 
     if hb is None:
-        hb = _choose_hb(H, n, PW, lanes, itemsize)
+        w_bytes = sum(9 * f * f * s.w.shape[2] * s.w.shape[3] * itemsize
+                      for s in steps)
+        hb = _choose_hb(H, n, PW, lanes, itemsize, res_mode, w_bytes)
         assert hb is not None, (H, n, PW, lanes)
     nb = H // hb
 
@@ -308,8 +317,6 @@ def conv_chain(
     scratch = [pltpu.VMEM((1, win_rows, PW, lanes[0]), dtype)]
     for _ in range(min(2, max(0, n - 1))):
         scratch.append(pltpu.VMEM((win_rows, PW, lmid), dtype))
-    if res_mode == 1 and steps[0].pre_alpha is not None:
-        scratch.append(pltpu.VMEM((win_rows, PW, lanes[0]), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((1,)))
 
     if interpret is None:
@@ -322,6 +329,10 @@ def conv_chain(
         out_specs=pl.BlockSpec((1, hb, P, lanes[-1]), lambda ni, b: (ni, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, H, P, lanes[-1]), dtype),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(*inputs)
     return out.reshape(N, H, W, chs[-1])

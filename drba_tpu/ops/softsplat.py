@@ -188,9 +188,15 @@ def _splat_shift(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array
 
 
 def _splat_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array:
-    """Pallas dense-stencil kernel backend (see splat_stencil.py)."""
-    from drba_tpu.ops.splat_stencil import splat_nhwc_stencil
+    """Pallas dense-stencil kernel backend (see splat_stencil.py).
 
+    Geometries the kernel cannot tile (H not a multiple of 8, or ultra-wide
+    frames whose minimal block exceeds the VMEM budget) fall back to the
+    bit-equivalent dense 'shift' backend instead of silently truncating."""
+    from drba_tpu.ops.splat_stencil import splat_nhwc_stencil, stencil_supported
+
+    if not stencil_supported(ten.shape[1], ten.shape[2], radius):
+        return _splat_shift(ten, flow, radius=radius)
     return splat_nhwc_stencil(ten, flow, radius=radius)
 
 

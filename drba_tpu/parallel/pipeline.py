@@ -1,6 +1,6 @@
 """Multi-chip frame pipeline: window-batch data parallelism.
 
-Wraps the serial frame loop (drba_tpu/pipeline.py) with the reuse-free
+Wraps the serial frame loop (drba_tpu/pipeline.py) with the reuse-chained
 window plan (drba_tpu/parallel/batch.py): decoded windows accumulate into
 device-count batches, each chip computes one window's full timestep set, and
 frames emit in order. All three model paths have batched window programs

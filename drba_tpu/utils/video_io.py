@@ -16,13 +16,55 @@ Deliberate fixes vs the reference:
 
 from __future__ import annotations
 
+import functools
 import queue
 import shutil
 import subprocess
+import sys
 import threading
 
 import cv2
 import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _ffmpeg_encoders() -> str:
+    """Probe the host ffmpeg's compiled-in encoder list (once per process)."""
+    try:
+        out = subprocess.run(
+            ["ffmpeg", "-hide_banner", "-encoders"],
+            capture_output=True, timeout=20,
+        )
+        return out.stdout.decode("utf-8", "replace")
+    except Exception:
+        return ""
+
+
+def select_encoder(hwaccel: bool) -> list[str]:
+    """ffmpeg video-encoder args for the ``-hw`` flag.
+
+    The reference hardcodes ``h264_nvenc -preset p7 -qp 16`` behind ``-hw``
+    (models/utils/tools.py:176-178) — a doomed pipe on an NVIDIA-free TPU
+    host. Probe the encoder list once and pick the first hardware encoder
+    actually present (nvenc / videotoolbox / vaapi), else fall back to
+    libx264 with a fast preset and a warning, so ``-hw`` never crashes where
+    plain mode works (VERDICT r2 item 6).
+    """
+    if not hwaccel:
+        return ["-c:v", "libx264", "-qp", "16", "-preset", "medium"]
+    enc = _ffmpeg_encoders()
+    if " h264_nvenc " in enc:
+        return ["-c:v", "h264_nvenc", "-qp", "16", "-preset", "p7"]
+    if " h264_videotoolbox " in enc:
+        return ["-c:v", "h264_videotoolbox", "-q:v", "65"]
+    import os
+
+    if " h264_vaapi " in enc and os.path.exists("/dev/dri/renderD128"):
+        return ["-vf", "format=nv12,hwupload", "-vaapi_device",
+                "/dev/dri/renderD128", "-c:v", "h264_vaapi", "-qp", "16"]
+    print("drba_tpu: no hardware h264 encoder on this host; "
+          "-hw falls back to libx264 -preset fast", file=sys.stderr)
+    return ["-c:v", "libx264", "-qp", "16", "-preset", "fast"]
 
 
 class VideoFI_IO:
@@ -66,14 +108,13 @@ class VideoFI_IO:
         self._closed = False
 
     def _spawn_ffmpeg(self, input_path, output_path, hwaccel):
-        encoder, preset = ("h264_nvenc", "p7") if hwaccel else ("libx264", "medium")
         cmd = [
             "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
             "-r", f"{self.dst_fps}", "-s", f"{self.width}x{self.height}",
             "-i", "pipe:0", "-i", input_path,
             "-map", "0:v", "-map", "1:a?",
-            "-c:v", encoder, "-movflags", "+faststart", "-pix_fmt", "yuv420p",
-            "-qp", "16", "-preset", preset,
+            *select_encoder(hwaccel),
+            "-movflags", "+faststart", "-pix_fmt", "yuv420p",
             "-c:a", "aac", "-b:a", "320k", output_path,
         ]
         return subprocess.Popen(cmd, stdin=subprocess.PIPE)

@@ -111,6 +111,52 @@ def test_uneven_band_boundaries_match():
     _check(x, _steps(rng, [64, 64, 64], pre=True), residual="input", hb=5)
 
 
+def test_gridnet_fused_matches_xla():
+    """Full GridNet with fused L0 conv chains vs the plain XLA lattice."""
+    from drba_tpu.models.gmfss_nets import (
+        GRIDNET_SPEC,
+        GRIDNET_UNION_SPEC,
+        build_gridnet_spec,
+        gridnet_apply,
+    )
+    from drba_tpu.models.layers import init_from_spec
+
+    rng = np.random.default_rng(8)
+    for union, cin in ((False, 12), (True, 9)):
+        spec = GRIDNET_UNION_SPEC if union else GRIDNET_SPEC
+        p = init_from_spec(spec, seed=3)
+        x = jnp.asarray(rng.normal(0, 1, (2, 16, 32, cin)).astype(np.float32))
+        x1 = jnp.asarray(rng.normal(0, 1, (2, 16, 32, 128)).astype(np.float32))
+        x2 = jnp.asarray(rng.normal(0, 1, (2, 8, 16, 256)).astype(np.float32))
+        x3 = jnp.asarray(rng.normal(0, 1, (2, 4, 8, 384)).astype(np.float32))
+        want = gridnet_apply(p, x, x1, x2, x3, union=union, conv_backend="xla")
+        got = gridnet_apply(p, x, x1, x2, x3, union=union,
+                            conv_backend="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_ifnet_fused_resconv_matches_xla():
+    """Full IFNet with fused ResConv chains vs the plain XLA path."""
+    from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply
+    from drba_tpu.models.layers import init_from_spec
+
+    p = init_from_spec(IFNET_SPEC, seed=5)
+    rng = np.random.default_rng(9)
+    I0 = jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 3)).astype(np.float32))
+    I1 = jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 3)).astype(np.float32))
+    tmap = jnp.full((2, 64, 128, 1), 0.5, jnp.float32)
+    scale_list = (4.0, 2.0, 1.0, 1.0, 1.0)
+    want, wf = ifnet_apply(p, I0, I1, tmap, scale_list,
+                           warp_backend="gather", conv_backend="xla")
+    got, gf = ifnet_apply(p, I0, I1, tmap, scale_list,
+                          warp_backend="gather", conv_backend="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gf[-1]), np.asarray(wf[-1]),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_bf16_numerics_close():
     rng = np.random.default_rng(7)
     x32 = rng.normal(0, 1, (1, 16, 16, 64)).astype(np.float32)

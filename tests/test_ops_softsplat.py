@@ -139,3 +139,19 @@ def test_stencil_radius_param():
                                    backend="stencil", radius=3))
     assert np.abs(kept).sum() > 0
     assert np.abs(dropped).sum() == 0.0
+
+
+def test_stencil_unsupported_geometry_falls_back_to_shift():
+    """H that no band height divides must NOT silently truncate: the stencil
+    backend falls back to the bit-equivalent 'shift' path (ADVICE r2)."""
+    from drba_tpu.ops.splat_stencil import stencil_supported
+
+    assert not stencil_supported(12, 64)
+    assert stencil_supported(64, 128)
+    n, h, w, c = 1, 12, 64, 3
+    ten = jnp.asarray(RNG.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    flow = jnp.asarray(
+        np.clip(RNG.standard_normal((n, h, w, 2)) * 3, -7, 7).astype(np.float32))
+    want = np.asarray(softsplat(ten, flow, None, "avg", backend="scatter"))
+    got = np.asarray(softsplat(ten, flow, None, "avg", backend="stencil"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
