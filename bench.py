@@ -158,6 +158,44 @@ def bench_motion(model_name, mag, h=1088, w=1920, n_windows=16):
     return total / (time.perf_counter() - t0)
 
 
+def gate_composed(h=1088, w=1920):
+    """Composed fast-path quality gate at production resolution (VERDICT r2
+    item 4): ONE 1080p rife window on the TPU, default config (stencil splat
+    + half-res DRM + MXU warp + Pallas conv chains) vs the exact config
+    (scatter + full-res DRM + gather + XLA convs), SSIM per synthesized
+    frame at injected pans of 8/20/40 px. BASELINE.md gates SSIM >= 0.995.
+    """
+    import jax.numpy as jnp
+    from drba_tpu.config import DEFAULT
+    from drba_tpu.models.rife import RIFE, _drba_window
+    from drba_tpu.models.ifnet import ifnet_encode
+    from drba_tpu.ops.ssim import ssim
+
+    model = RIFE(weights=None, scale=1.0, config=DEFAULT)
+    frames = _frames(h, w)
+    dt = DEFAULT.compute_dtype
+    feats = [ifnet_encode(model.params, f) for f in frames[:3]]
+    ts = jnp.asarray([0.5, 0.9, 1.3], jnp.float32)
+    out = {}
+    for mag in (8.0, 20.0, 40.0):
+        flow10 = _pan_flow(1, h, w, mag, mag * 0.3, 1.5, 0, dt)
+        flow12 = _pan_flow(1, h, w, -mag, -mag * 0.3, 1.5, 1, dt)
+        args = (model.params, frames[0], frames[1], frames[2], ts,
+                flow10, flow12, feats[0], feats[1], feats[2],
+                model.scale_list, True)
+        fast = _drba_window(*args, DEFAULT.splat_backend,
+                            DEFAULT.warp_backend, DEFAULT.drm_splat_scale,
+                            DEFAULT.conv_backend)
+        exact = _drba_window(*args, "scatter", "gather", 1.0, "xla")
+        s = min(
+            float(ssim(fast[t].astype(jnp.float32),
+                       exact[t].astype(jnp.float32)))
+            for t in range(3)
+        )
+        out[f"pan{int(mag)}"] = round(s, 5)
+    return out
+
+
 def bench_gmfss(cls_name="gmfss", h=1088, w=1920, scale=1.0, n_windows=12):
     from drba_tpu.config import DEFAULT
 
@@ -191,6 +229,8 @@ CONFIGS = {
                    lambda: bench_motion("gmfss", 8.0)),
     "gmfss_pan40": ("gmfss window, injected 40px pan (high motion)",
                     lambda: bench_motion("gmfss", 40.0)),
+    "gate": ("composed fast path vs exact, min frame SSIM (>= 0.995 gate)",
+             gate_composed),
 }
 
 
@@ -209,9 +249,13 @@ def main():
             breakdown = json.load(open(BREAKDOWN_PATH))
         for name in names:
             label, fn = CONFIGS[name]
-            fps = fn()
-            breakdown[name] = {"label": label, "fps": round(fps, 3)}
-            print(f"{label}: {fps:.3f} interp frames/sec")
+            val = fn()
+            if isinstance(val, dict):
+                breakdown[name] = {"label": label, "ssim": val}
+                print(f"{label}: {val}")
+            else:
+                breakdown[name] = {"label": label, "fps": round(val, 3)}
+                print(f"{label}: {val:.3f} interp frames/sec")
         json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
         return
 

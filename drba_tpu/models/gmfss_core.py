@@ -122,8 +122,14 @@ def _warp_pyramid(img_h, feats, Ft, Zt, extra=None, backend="auto"):
 
 
 def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1,
-                    backend: str = "auto", conv_backend: str = "auto"):
-    """Model.inference (model_gmfss/GMFSS.py:83-190): splat-and-fuse."""
+                    backend: str = "auto", conv_backend: str = "auto",
+                    swap_thresh: float = 1.0):
+    """Model.inference (model_gmfss/GMFSS.py:83-190): splat-and-fuse.
+
+    ``swap_thresh`` mirrors the reference signature (GMFSS.py:83); like the
+    reference's quality path it is accepted but unused — the active
+    timestep-swap masking lives in the union variant below."""
+    del swap_thresh
     F1t = timestep0 * reuse.flow01
     F2t = timestep1 * reuse.flow10
     Z1t = timestep0 * reuse.metric0

@@ -47,6 +47,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Column-group base of the data region inside VMEM window/intermediate
+# buffers. Mosaic only accepts DMA destination slices whose sublane (group)
+# offset is a multiple of 8, so the left conv-zero-pad region is 8 groups
+# wide (only group _CB-1 is ever read, as the left tap).
+_CB = 8
+
+
 class ChainStep(NamedTuple):
     """One conv of the chain: ``y = conv3x3(pre(x)) + b`` then epilogue.
 
@@ -113,6 +120,7 @@ def _kernel(meta: _Meta, *refs):
     # ---- unpack positional refs (layout mirrors conv_chain's call) ----
     it = iter(range(len(refs)))
     x_hbm = refs[next(it)]
+    zrows = refs[next(it)]
     res_ref = refs[next(it)] if meta.res_mode == 2 else None
     step_refs = []
     for (_, _, has_pre, has_beta) in steps:
@@ -130,25 +138,60 @@ def _kernel(meta: _Meta, *refs):
     ni = pl.program_id(0)
     b = pl.program_id(1)
     t = ni * meta.nb + b
-
-    # ---- fetch this band's input window (rows b*hb .. +hb+2n of the
-    # zero-padded input; padding supplies the halo and edge groups) ----
-    cp = pltpu.make_async_copy(
-        x_hbm.at[ni, pl.ds(b * hb, win_rows), :, :], win.at[0], sem.at[0]
-    )
-    cp.start()
+    nb = meta.nb
 
     @pl.when(t == 0)
     def _():
+        # edge group columns (conv zero padding) + never-written right pad;
+        # the per-band DMA only touches cols [8, P+8), so these stay zero
+        win[...] = jnp.zeros_like(win)
         for bf in bufs:
             bf[...] = jnp.zeros_like(bf)
 
-    cp.wait()
+    # ---- fetch this band's input window: rows b*hb-n .. b*hb+hb+n of the
+    # UNPADDED input (the free (N,H,W,C)->(N,H,P,f*C) reshape replaces the
+    # 2x-full-tensor-copy jnp.pad that dominated kernel time); the n-row
+    # halo beyond the frame comes from a tiny zero-rows input instead.
+    # Data lives at column-group base _CB = 8: Mosaic requires DMA
+    # destination slices in the sublane (group) dim to be 8-aligned, so the
+    # left zero-pad region is 8 groups wide and taps read at _CB-1.._CB+1 ----
+    def dma(src, dst_r0, rows):
+        return pltpu.make_async_copy(
+            src, win.at[0, pl.ds(dst_r0, rows), pl.ds(_CB, P), :], sem.at[0]
+        )
+
+    if nb == 1:
+        for cpy in (dma(zrows.at[:, :, :], 0, n),
+                    dma(x_hbm.at[ni, :, :, :], n, hb),
+                    dma(zrows.at[:, :, :], n + hb, n)):
+            cpy.start()
+            cpy.wait()
+    else:
+        @pl.when(b == 0)
+        def _():
+            c1 = dma(zrows.at[:, :, :], 0, n)
+            c2 = dma(x_hbm.at[ni, pl.ds(0, hb + n), :, :], n, hb + n)
+            c1.start(); c1.wait()
+            c2.start(); c2.wait()
+
+        if nb > 2:  # interior bands exist; slice is in-bounds (hb >= n)
+            @pl.when(jnp.logical_and(b > 0, b < nb - 1))
+            def _():
+                c = dma(x_hbm.at[ni, pl.ds(b * hb - n, win_rows), :, :], 0,
+                        win_rows)
+                c.start(); c.wait()
+
+        @pl.when(b == nb - 1)
+        def _():
+            c1 = dma(x_hbm.at[ni, pl.ds(H - hb - n, hb + n), :, :], 0, hb + n)
+            c2 = dma(zrows.at[:, :, :], hb + n, n)
+            c1.start(); c1.wait()
+            c2.start(); c2.wait()
 
     if meta.res_mode == 1:
         # snapshot the residual rows into the out block BEFORE any in-place
         # activation of the window corrupts them — zero extra VMEM
-        out_ref[0] = win[0, pl.ds(n, hb), pl.ds(1, P), slice(0, steps[-1][1])]
+        out_ref[0] = win[0, pl.ds(n, hb), pl.ds(_CB, P), slice(0, steps[-1][1])]
 
     def prelu(v, alpha_ref, L):
         # comparison in f32: Mosaic on v5e rejects bf16 cmpf
@@ -165,39 +208,51 @@ def _kernel(meta: _Meta, *refs):
         last = k == n_steps - 1
 
         if has_pre:
+            # activate only the rows this conv reads (the buffers are
+            # allocated at full window height; deeper levels use less)
+            rows_k = hb + 2 * (n - k)
             if k == 0:
-                win[0] = prelu(win[0], alpha, Lin)
+                win[0, pl.ds(0, rows_k), :, :] = prelu(
+                    win[0, pl.ds(0, rows_k), :, :], alpha, Lin)
             else:
-                src[...] = prelu(src[...], alpha, Lin)
+                src[pl.ds(r0, rows_k), :, :] = prelu(
+                    src[pl.ds(r0, rows_k), :, :], alpha, Lin)
         src_k, idx0 = src, ((0,) if src is win else ())
 
-        acc = jnp.zeros((out_rows * P, Lout), jnp.float32)
+        # bias folded into the accumulator init (f32 add pre-cast — within
+        # bf16 rounding of XLA's post-cast bias add; exact in f32)
+        acc = jnp.broadcast_to(
+            bias[0:1, :].astype(jnp.float32), (out_rows * P, Lout))
         for dy in range(3):
             for gx in range(3):
-                a = src_k[idx0 + (pl.ds(r0 + dy, out_rows), pl.ds(gx, P),
-                                  slice(0, Lin))]
+                a = src_k[idx0 + (pl.ds(r0 + dy, out_rows),
+                                  pl.ds(_CB - 1 + gx, P), slice(0, Lin))]
                 acc = acc + jnp.dot(
                     a.reshape(out_rows * P, Lin), wk[dy * 3 + gx],
                     preferred_element_type=jnp.float32,
                 )
 
         y = acc.astype(meta.dtype).reshape(out_rows, P, Lout)
-        y = y + bias[0:1, :][None, :, :].astype(y.dtype)
 
         if has_beta:
-            prev = src_k[idx0 + (pl.ds(r0 + 1, out_rows), pl.ds(1, P),
+            prev = src_k[idx0 + (pl.ds(r0 + 1, out_rows), pl.ds(_CB, P),
                                  slice(0, Lin))]
             bv = y * beta[0:1, :][None, :, :].astype(y.dtype) + prev
             y = jnp.where(bv.astype(jnp.float32) >= 0, bv, bv * 0.2)
 
         if not last:
-            # zero out-of-frame rows: they are the NEXT conv's zero padding
-            gi = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1, 1), 0) + (
-                b * hb - n + k + 1
-            )
-            y = jnp.where((gi >= 0) & (gi < H), y, jnp.zeros_like(y))
             dst = bufs[k % len(bufs)]
-            dst[pl.ds(k + 1, out_rows), pl.ds(1, P), slice(0, Lout)] = y
+            dst[pl.ds(k + 1, out_rows), pl.ds(_CB, P), slice(0, Lout)] = y
+
+            # out-of-frame rows are the NEXT conv's zero padding; only the
+            # first/last bands have any, so the masked overwrite is gated
+            @pl.when(jnp.logical_or(b * hb < n, b * hb + hb + n > H))
+            def _():
+                gi = jax.lax.broadcasted_iota(
+                    jnp.int32, (out_rows, 1, 1), 0) + (b * hb - n + k + 1)
+                ym = jnp.where((gi >= 0) & (gi < H), y, jnp.zeros_like(y))
+                dst[pl.ds(k + 1, out_rows), pl.ds(_CB, P), slice(0, Lout)] = ym
+
             src = dst
         else:
             if meta.res_mode == 1:
@@ -221,7 +276,9 @@ def _choose_hb(H: int, n: int, PW: int, lanes: Sequence[int], itemsize: int,
                budget: int = _VMEM_BUDGET) -> int | None:
     """Largest band height fitting the VMEM budget (raw buffer bytes)."""
     lmid = max(lanes[1:-1], default=0)
-    cands = sorted({d for d in range(4, H + 1) if H % d == 0}, reverse=True)
+    # hb >= n so edge-band halo DMAs stay within one neighbor band
+    cands = sorted({d for d in range(4, H + 1)
+                    if H % d == 0 and (d >= n or d == H)}, reverse=True)
     for hb in cands:
         rows = hb + 2 * n
         tot = (
@@ -265,7 +322,7 @@ def conv_chain(
     assert all((f * c) % 128 == 0 for c in chs), (f, chs)
     assert W % f == 0 and (W // f) % 8 == 0, (W, f)
     P = W // f
-    PW = _round_up(P + 2, 8)
+    PW = _round_up(_CB + P + 1, 8)  # 8-group left pad + data + right zero
     n = len(steps)
     res_mode = {"none": 0, "input": 1, "extra": 2}[residual]
     if res_mode == 1:
@@ -279,11 +336,14 @@ def conv_chain(
                       for s in steps)
         hb = _choose_hb(H, n, PW, lanes, itemsize, res_mode, w_bytes)
         assert hb is not None, (H, n, PW, lanes)
+    assert H % hb == 0 and (hb >= n or hb == H), (H, hb, n)
     nb = H // hb
 
-    # zero-pad: n halo rows; f pixels left (one zero group), right to PW groups
-    xp = jnp.pad(x, ((0, 0), (n, n), (f, PW * f - W - f), (0, 0)))
-    xp = xp.reshape(N, H + 2 * n, PW, f * C0)
+    # FREE layout change — same bytes (this used to be a jnp.pad, i.e. a
+    # 2x-full-tensor HBM copy that dominated the kernel's measured time;
+    # the halo/edge zeros are DMA'd inside the kernel instead)
+    xp = x.reshape(N, H, P, f * C0)
+    zrows = jnp.zeros((n, P, f * C0), dtype)
 
     meta = _Meta(
         steps=tuple((f * ci, f * co, s.pre_alpha is not None, s.beta is not None)
@@ -292,8 +352,9 @@ def conv_chain(
         dtype=dtype,
     )
 
-    inputs = [xp]
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    inputs = [xp, zrows]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
     if res_mode == 2:
         assert res is not None and res.shape == (N, H, W, chs[-1])
         inputs.append(res.reshape(N, H, P, f * chs[-1]))

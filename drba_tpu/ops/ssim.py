@@ -159,3 +159,40 @@ def ssim_matlab(img1: jax.Array, img2: jax.Array, val_range: float | None = None
     v2 = sigma1_sq + sigma2_sq + c2
     ssim_map = ((2 * mu1_mu2 + c1) * v1) / ((mu1_sq + mu2_sq + c1) * v2)
     return jnp.mean(ssim_map)
+
+
+class SSIM:
+    """Stateful wrapper mirroring ``pytorch_msssim.SSIM``
+    (models/pytorch_msssim/__init__.py:168-191). Returns DSSIM
+    ``(1 - ssim) / 2`` like the reference's forward. The gaussian window is
+    a trace-time constant here, so there is no device window cache to carry
+    — the class exists for API completeness."""
+
+    def __init__(self, window_size: int = 11, size_average: bool = True,
+                 val_range: float | None = None):
+        assert window_size == 11 and size_average, "reference defaults only"
+        self.window_size = window_size
+        self.size_average = size_average
+        self.val_range = val_range
+
+    def __call__(self, img1: jax.Array, img2: jax.Array) -> jax.Array:
+        return (1.0 - ssim(img1, img2, val_range=self.val_range)) / 2.0
+
+    forward = __call__
+
+
+class MSSSIM:
+    """Stateful wrapper mirroring ``pytorch_msssim.MSSSIM``
+    (models/pytorch_msssim/__init__.py:194-203)."""
+
+    def __init__(self, window_size: int = 11, size_average: bool = True,
+                 channel: int = 3):
+        assert window_size == 11 and size_average, "reference defaults only"
+        self.window_size = window_size
+        self.size_average = size_average
+        self.channel = channel
+
+    def __call__(self, img1: jax.Array, img2: jax.Array) -> jax.Array:
+        return msssim(img1, img2)
+
+    forward = __call__

@@ -6,11 +6,19 @@ of any kind). The TPU-native scaling axis here is the **window batch**: each
 per-window, so windows shard embarrassingly across chips over ICI with
 ``jax.sharding`` — XLA inserts any needed collectives.
 
-Axes:
-  * ``data``  — window/batch axis (pure DP, no cross-chip traffic in the hot
-    loop beyond input scatter / output gather);
-  * ``sp``    — optional spatial axis (H) for 4K+ frames; XLA's SPMD
-    partitioner inserts halo exchanges for convolutions automatically.
+The single axis is ``data`` — the window/batch axis (pure DP, no cross-chip
+traffic in the hot loop beyond the reuse-chain ppermute and input scatter /
+output gather).
+
+Why no spatial ('sp') axis for 4K (decided round 3): window DP already
+scales 4K *throughput* linearly — a video stream supplies far more
+independent windows than chips, so spatial sharding could only improve
+single-window *latency*, which offline conversion does not need. Wiring it
+would also force manual halo exchange around every Pallas kernel (the
+stencil splat / MXU warp / conv chains are custom calls XLA's SPMD
+partitioner cannot split), a large complexity tax for no throughput win.
+The single-chip 4K bound is therefore the per-chip bench number
+(bench.py --config uhd); aggregate 4K throughput = chips x that number.
 """
 
 from __future__ import annotations
@@ -20,20 +28,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, spatial: int = 1) -> Mesh:
+def make_mesh(n_devices: int | None = None) -> Mesh:
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices
-    devices = np.asarray(devices[:n])
-    if spatial > 1:
-        assert n % spatial == 0
-        return Mesh(devices.reshape(n // spatial, spatial), ("data", "sp"))
-    return Mesh(devices, ("data",))
+    return Mesh(np.asarray(devices[:n]), ("data",))
 
 
 def window_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (window-batch) axis sharded across 'data'."""
-    if "sp" in mesh.axis_names:
-        return NamedSharding(mesh, P("data", None, "sp"))
     return NamedSharding(mesh, P("data"))
 
 

@@ -95,7 +95,7 @@ def test_single_conv_f2():
 def test_resconv_chain_f4_c32():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(0, 0.5, (2, 12, 32, 32)).astype(np.float32))
-    _check(x, _steps(rng, [32] * 9, beta=True), hb=6)
+    _check(x, _steps(rng, [32] * 9, beta=True), hb=12)  # single band (hb < n)
 
 
 def test_resconv_chain_f1_c128():

@@ -93,3 +93,19 @@ def test_msssim_matches_reference(reference_path):
     want = float(ref_msssim(_nchw(a), _nchw(b)))
     got = float(msssim(jnp.asarray(a), jnp.asarray(b)))
     assert abs(got - want) < 5e-3
+
+
+def test_ssim_class_wrappers(reference_path):
+    """SSIM module returns DSSIM like the reference forward
+    (models/pytorch_msssim/__init__.py:185-191); MSSSIM forwards to msssim."""
+    from models.pytorch_msssim import SSIM as RefSSIM
+
+    from drba_tpu.ops.ssim import MSSSIM, SSIM, msssim
+
+    a = RNG.uniform(0, 1, (1, 176, 176, 3)).astype(np.float32)
+    b = np.clip(a + RNG.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    ja, jb = jnp.asarray(a), jnp.asarray(b)
+    want = float(RefSSIM()(_nchw(a), _nchw(b)))
+    got = float(SSIM()(ja, jb))
+    assert abs(got - want) < 2e-3
+    assert abs(float(MSSSIM()(ja, jb)) - float(msssim(ja, jb))) < 1e-6
