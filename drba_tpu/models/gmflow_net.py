@@ -217,20 +217,20 @@ def _window_attention(q, k, v, num_splits: int, h: int, w: int, with_shift: bool
     """
     b, _, _, c = q.shape
     scale = 1.0 / math.sqrt(c)
+    # one roll + one split over a batch-stacked qkv instead of three each:
+    # the 6-D split/merge transposes carry a ~1 ms fixed per-op cost on this
+    # stack, so fewer-bigger ops win (docs/ROADMAP.md per-op floor)
+    qkv = jnp.concatenate([q, k, v], axis=0)  # (3B,H,W,C)
     if with_shift:
         sh, sw = (h // num_splits) // 2, (w // num_splits) // 2
-        q = jnp.roll(q, (-sh, -sw), axis=(1, 2))
-        k = jnp.roll(k, (-sh, -sw), axis=(1, 2))
-        v = jnp.roll(v, (-sh, -sw), axis=(1, 2))
+        qkv = jnp.roll(qkv, (-sh, -sw), axis=(1, 2))
 
-    qs = split_windows(q, num_splits)
-    ks = split_windows(k, num_splits)
-    vs = split_windows(v, num_splits)
-    bkk, wh, ww, _ = qs.shape
+    s = split_windows(qkv, num_splits)
+    bkk3, wh, ww, _ = s.shape
     L = wh * ww
-    qs = qs.reshape(bkk, L, c)
-    ks = ks.reshape(bkk, L, c)
-    vs = vs.reshape(bkk, L, c)
+    s = s.reshape(3, bkk3 // 3, L, c)
+    qs, ks, vs = s[0], s[1], s[2]
+    bkk = bkk3 // 3
 
     scores = jnp.einsum("blc,bmc->blm", qs, ks, preferred_element_type=jnp.float32) * scale
     if with_shift:

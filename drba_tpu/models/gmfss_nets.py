@@ -19,6 +19,7 @@ from drba_tpu.models.layers import (
 )
 from drba_tpu.ops import backwarp, pixel_shuffle
 from drba_tpu.ops.distance import flow_distance
+from drba_tpu.ops.shuffle import fold_conv_after_shuffle
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +240,24 @@ GRIDNET_SPEC = build_gridnet_spec(12, union=False)
 GRIDNET_UNION_SPEC = build_gridnet_spec(9, union=True)
 
 
+def _tail_out(p: Params, u):
+    """``conv_last(pixel_shuffle(u, 2))`` with the conv commuted through the
+    shuffle (ops/shuffle.py:fold_conv_after_shuffle) — bit-equal math, but
+    the conv runs on 1/4 the pixels and the shuffle moves 12 channels
+    instead of 256, eliding the measured ~25-30 ms full-res 6-D transpose
+    cascade in the tail (FusionNet.py:36-52 semantics preserved)."""
+    w_lo, b_lo = fold_conv_after_shuffle(
+        p["residual_model_tail.conv_last.weight"],
+        p["residual_model_tail.conv_last.bias"], 2)
+    y = jax.lax.conv_general_dilated(
+        u, w_lo.astype(u.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(u.dtype) + b_lo.astype(u.dtype)
+    return pixel_shuffle(y, 2)
+
+
 def _seq_block(p: Params, prefix, x, stride=1, transpose=False):
     if transpose:
         y = conv_transpose2d(p, f"{prefix}.1", prelu(p, f"{prefix}.0", x), stride=2, padding=1)
@@ -252,14 +271,16 @@ def _use_conv_chain(conv_backend: str, h: int, w: int) -> bool:
 
     The kernel packs 2 pixel columns into the 128-lane dim, so W must be
     even and W/2 a multiple of 8. Like the other Pallas kernels it must
-    not be traced under vmap (models batch explicitly)."""
+    not be traced under vmap (models batch explicitly).
+
+    ``auto`` resolves to the XLA lattice: measured head-to-head at the
+    production 1080p window (scripts/profile_gridnet.py, tail fold in
+    both variants) the packed chain lattice is 109.9 ms vs 105.8 ms for
+    XLA — the standalone 2.2x chain win is eaten by in-context conv
+    speedups + boundary relayouts. Kept behind ``pallas`` for study."""
     shapes_ok = w % 16 == 0 and h % 4 == 0
     if conv_backend == "pallas":
         return shapes_ok
-    if conv_backend == "auto":
-        import jax as _jax
-
-        return shapes_ok and _jax.default_backend() != "cpu"
     return False
 
 
@@ -275,71 +296,96 @@ def _chain_step(p: Params, prefix: str, i: int, cin_pad: int | None = None):
 
 
 def _seq_chain(p: Params, prefix: str, x, residual="none", res=None,
-               cin_pad=None):
+               cin_pad=None, packed=False):
     """``_seq_block`` via ONE fused Pallas invocation (ops/conv_chain.py)."""
     from drba_tpu.ops.conv_chain import conv_chain
 
     steps = [_chain_step(p, prefix, 1, cin_pad=cin_pad),
              _chain_step(p, prefix, 3)]
-    return conv_chain(x, steps, residual=residual, res=res)
+    return conv_chain(x, steps, residual=residual, res=res, packed=packed)
 
 
 def _gridnet_fused(p: Params, x, x1, x2, x3, union: bool):
-    """GridNet with the L0 (H/2 x W/2, 64ch) seq blocks fused into Pallas
-    conv-chain invocations — the geometry XLA's conv lowering runs at
-    ~12 TF/s (docs/ROADMAP.md). The L1/L2 lattice and all stride-2 /
-    transposed convs stay on XLA (measured fine there)."""
-    from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+    """GridNet with the L0 (64ch) and L1 (128ch) seq blocks fused into
+    Pallas conv-chain invocations.
+
+    The whole 64ch L0 row of the lattice runs in the kernel's packed
+    (W/2, 128)-lane layout: the 64->128-lane retiling is a measured
+    ~1.4 ms relayout at this size, so it is paid once at each lattice
+    boundary (pack x/x1 and the two transposed-conv outputs; unpack
+    X00/X01 for the stride-2 consumers and the tail) instead of per
+    invocation.  L1 is already lane-full (f=1, reshape-free); its
+    residual blocks run as chains and the stride-2/transposed convs
+    keep XLA for the strided conv with the TRAILING conv fused as a
+    1-conv chain carrying the lattice sum.  L2 (192ch, not a 128
+    multiple) stays entirely on XLA — it is 1/16 the pixels."""
+    from drba_tpu.ops.conv_chain import (
+        ChainStep, conv_chain, pack_cols, unpack_cols,
+    )
 
     head0 = "residual_model_head0" if union else "residual_model_head"
     cin = x.shape[-1]
-    xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 64 - cin)))
-    h0 = _seq_chain(p, head0, xpad, cin_pad=64)
-    X00 = _seq_chain(p, "residual_model_head1", x1, residual="extra", res=h0)
-    X01 = _seq_chain(p, "residual_model_01", X00, residual="input")
+    xp = pack_cols(jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 64 - cin))), 2)
+    x1p = pack_cols(x1, 2)
+    h0 = _seq_chain(p, head0, xp, cin_pad=64, packed=True)
+    X00p = _seq_chain(p, "residual_model_head1", x1p, residual="extra",
+                      res=h0, packed=True)
+    X01p = _seq_chain(p, "residual_model_01", X00p, residual="input",
+                      packed=True)
+    X00 = unpack_cols(X00p, 2)
+    X01 = unpack_cols(X01p, 2)
 
-    X10 = _seq_block(p, "downsample_model_10", X00, stride=2) + _seq_block(
-        p, "residual_model_head2", x2
-    )
+    def strided_plus(name, src, stride, other, transpose=False):
+        # stride-2 / transposed conv on XLA; its trailing conv fused with
+        # the lattice sum as a 1-conv chain
+        a = prelu(p, f"{name}.0", src)
+        if transpose:
+            t = conv_transpose2d(p, f"{name}.1", a, stride=2, padding=1)
+        else:
+            t = conv2d(p, f"{name}.1", a, stride=stride, padding=1)
+        return conv_chain(t, [_chain_step(p, name, 3)], residual="extra",
+                          res=other)
+
+    h2 = _seq_chain(p, "residual_model_head2", x2)
+    X10 = strided_plus("downsample_model_10", X00, 2, h2)
     X20 = _seq_block(p, "downsample_model_20", X10, stride=2) + _seq_block(
         p, "residual_model_head3", x3
     )
-    X11 = (_seq_block(p, "residual_model_11", X10) + X10) + _seq_block(
-        p, "downsample_model_11", X01, stride=2
-    )
+    a11 = _seq_chain(p, "residual_model_11", X10, residual="input")
+    X11 = strided_plus("downsample_model_11", X01, 2, a11)
     X21 = (_seq_block(p, "residual_model_21", X20) + X20) + _seq_block(
         p, "downsample_model_21", X11, stride=2
     )
     X24 = _seq_block(p, "residual_model_24", X21) + X21
     X25 = _seq_block(p, "residual_model_25", X24) + X24
-    X14 = _seq_block(p, "upsample_model_14", X24, transpose=True) + (
-        _seq_block(p, "residual_model_14", X11) + X11
-    )
+    a14 = _seq_chain(p, "residual_model_14", X11, residual="input")
+    X14 = strided_plus("upsample_model_14", X24, 2, a14, transpose=True)
 
     def up_l0(name, src, res):
-        # transposed conv on XLA, then its trailing conv fused w/ the sum
+        # transposed conv on XLA, packed once, then its trailing conv
+        # fused with the L0 lattice sum
         t = conv_transpose2d(p, f"{name}.1", prelu(p, f"{name}.0", src),
                              stride=2, padding=1)
-        return conv_chain(t, [_chain_step(p, name, 3)], residual="extra",
-                          res=res)
+        return conv_chain(pack_cols(t, 2), [_chain_step(p, name, 3)],
+                          residual="extra", res=res, packed=True)
 
-    R04 = _seq_chain(p, "residual_model_04", X01, residual="input")
-    X04 = up_l0("upsample_model_04", X14, R04)
-    X15 = _seq_block(p, "upsample_model_15", X25, transpose=True) + (
-        _seq_block(p, "residual_model_15", X14) + X14
-    )
-    R05 = _seq_chain(p, "residual_model_05", X04, residual="input")
-    X05 = up_l0("upsample_model_05", X15, R05)
+    R04p = _seq_chain(p, "residual_model_04", X01p, residual="input",
+                      packed=True)
+    X04p = up_l0("upsample_model_04", X14, R04p)
+    a15 = _seq_chain(p, "residual_model_15", X14, residual="input")
+    X15 = strided_plus("upsample_model_15", X25, 2, a15, transpose=True)
+    R05p = _seq_chain(p, "residual_model_05", X04p, residual="input",
+                      packed=True)
+    X05p = up_l0("upsample_model_05", X15, R05p)
 
-    tail = conv_chain(X05, [
+    tail = conv_chain(X05p, [
         ChainStep(w=p["residual_model_tail.conv_before_upsample.0.weight"],
                   b=p["residual_model_tail.conv_before_upsample.0.bias"]),
         ChainStep(w=p["residual_model_tail.upsample.0.weight"],
                   b=p["residual_model_tail.upsample.0.bias"],
                   pre_alpha=p["residual_model_tail.conv_before_upsample.1.weight"]),
-    ])
-    t = pixel_shuffle(tail, 2)
-    return conv2d(p, "residual_model_tail.conv_last", t, padding=1)
+    ], packed=True)
+    return _tail_out(p, unpack_cols(tail, 2))
 
 
 def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False,
@@ -385,5 +431,4 @@ def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False,
     t = conv2d(p, "residual_model_tail.conv_before_upsample.0", X05, padding=1)
     t = prelu(p, "residual_model_tail.conv_before_upsample.1", t)
     t = conv2d(p, "residual_model_tail.upsample.0", t, padding=1)
-    t = pixel_shuffle(t, 2)
-    return conv2d(p, "residual_model_tail.conv_last", t, padding=1)
+    return _tail_out(p, t)

@@ -189,7 +189,9 @@ def _resconv_chain(p: Params, b: str, feat: jax.Array, conv_backend: str):
             )
         return feat
 
-    from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+    from drba_tpu.ops.conv_chain import (
+        ChainStep, conv_chain, pack_cols, unpack_cols,
+    )
 
     cpad = 128 if c == 96 else c
     x = feat
@@ -207,8 +209,15 @@ def _resconv_chain(p: Params, b: str, feat: jax.Array, conv_backend: str):
             bb = jnp.pad(bb, (0, cpad - c))
             beta = jnp.pad(beta, (0, cpad - c))
         steps.append(ChainStep(w=w, b=bb, beta=beta))
+    # pack once across the whole run (the 64/32ch -> 128-lane retiling is a
+    # real relayout; pay it at the run boundary, not per invocation)
+    f = max(1, 128 // cpad)
+    if f > 1:
+        x = pack_cols(x, f)
     for k in range(0, 8, _RESCONV_SPLIT):
-        x = conv_chain(x, steps[k : k + _RESCONV_SPLIT])
+        x = conv_chain(x, steps[k : k + _RESCONV_SPLIT], packed=f > 1)
+    if f > 1:
+        x = unpack_cols(x, f)
     return x[..., :c] if cpad != c else x
 
 

@@ -139,59 +139,90 @@ def _kernel(meta: _Meta, *refs):
     b = pl.program_id(1)
     t = ni * meta.nb + b
     nb = meta.nb
+    total = pl.num_programs(0) * nb
 
     @pl.when(t == 0)
     def _():
         # edge group columns (conv zero padding) + never-written right pad;
-        # the per-band DMA only touches cols [8, P+8), so these stay zero
+        # the per-band DMAs only touch cols [_CB, _CB+P), so these stay zero
         win[...] = jnp.zeros_like(win)
         for bf in bufs:
             bf[...] = jnp.zeros_like(bf)
 
-    # ---- fetch this band's input window: rows b*hb-n .. b*hb+hb+n of the
-    # UNPADDED input (the free (N,H,W,C)->(N,H,P,f*C) reshape replaces the
+    # ---- band input window: rows b*hb-n .. b*hb+hb+n of the UNPADDED
+    # input (the free (N,H,W,C)->(N,H,P,f*C) reshape replaces the
     # 2x-full-tensor-copy jnp.pad that dominated kernel time); the n-row
     # halo beyond the frame comes from a tiny zero-rows input instead.
     # Data lives at column-group base _CB = 8: Mosaic requires DMA
     # destination slices in the sublane (group) dim to be 8-aligned, so the
-    # left zero-pad region is 8 groups wide and taps read at _CB-1.._CB+1 ----
-    def dma(src, dst_r0, rows):
-        return pltpu.make_async_copy(
-            src, win.at[0, pl.ds(dst_r0, rows), pl.ds(_CB, P), :], sem.at[0]
+    # left zero-pad region is 8 groups wide and taps read at _CB-1.._CB+1.
+    #
+    # Uniform 3 copies per band — top halo / body / bottom halo, each on its
+    # own semaphore — double-buffered across grid steps (splat_stencil's
+    # pattern): step t prefetches band t+1's window while computing band t,
+    # hiding both HBM latency and the start->wait round trips. The halo
+    # sources select zrows vs neighbor rows under pl.when; the wait side
+    # uses same-shape/same-sem descriptors, which is what the semaphore
+    # counts.
+    def band_copies(slot, tt, start):
+        nn = tt // nb
+        bb = tt % nb
+
+        def top(src):
+            return pltpu.make_async_copy(
+                src, win.at[slot, pl.ds(0, n), pl.ds(_CB, P), :], sem.at[slot, 0]
+            )
+
+        def bot(src):
+            return pltpu.make_async_copy(
+                src, win.at[slot, pl.ds(n + hb, n), pl.ds(_CB, P), :],
+                sem.at[slot, 2],
+            )
+
+        body = pltpu.make_async_copy(
+            x_hbm.at[nn, pl.ds(bb * hb, hb), :, :],
+            win.at[slot, pl.ds(n, hb), pl.ds(_CB, P), :], sem.at[slot, 1]
         )
+        if not start:  # wait: shape/sem-equivalent descriptors suffice
+            return [top(zrows.at[:, :, :]), body, bot(zrows.at[:, :, :])]
 
-    if nb == 1:
-        for cpy in (dma(zrows.at[:, :, :], 0, n),
-                    dma(x_hbm.at[ni, :, :, :], n, hb),
-                    dma(zrows.at[:, :, :], n + hb, n)):
-            cpy.start()
-            cpy.wait()
-    else:
-        @pl.when(b == 0)
+        body.start()
+
+        @pl.when(bb == 0)
         def _():
-            c1 = dma(zrows.at[:, :, :], 0, n)
-            c2 = dma(x_hbm.at[ni, pl.ds(0, hb + n), :, :], n, hb + n)
-            c1.start(); c1.wait()
-            c2.start(); c2.wait()
+            top(zrows.at[:, :, :]).start()
 
-        if nb > 2:  # interior bands exist; slice is in-bounds (hb >= n)
-            @pl.when(jnp.logical_and(b > 0, b < nb - 1))
+        @pl.when(bb == nb - 1)
+        def _():
+            bot(zrows.at[:, :, :]).start()
+
+        if nb > 1:  # hb >= n keeps both neighbor-row slices in bounds
+            @pl.when(bb > 0)
             def _():
-                c = dma(x_hbm.at[ni, pl.ds(b * hb - n, win_rows), :, :], 0,
-                        win_rows)
-                c.start(); c.wait()
+                top(x_hbm.at[nn, pl.ds(bb * hb - n, n), :, :]).start()
 
-        @pl.when(b == nb - 1)
-        def _():
-            c1 = dma(x_hbm.at[ni, pl.ds(H - hb - n, hb + n), :, :], 0, hb + n)
-            c2 = dma(zrows.at[:, :, :], hb + n, n)
-            c1.start(); c1.wait()
-            c2.start(); c2.wait()
+            @pl.when(bb < nb - 1)
+            def _():
+                bot(x_hbm.at[nn, pl.ds(bb * hb + hb, n), :, :]).start()
+        return None
+
+    @pl.when(t == 0)
+    def _():
+        band_copies(0, t, start=True)
+
+    @pl.when(t + 1 < total)
+    def _():
+        band_copies((t + 1) % 2, t + 1, start=True)
+
+    slot = t % 2
+    for c in band_copies(slot, t, start=False):
+        c.wait()
+    wslot = win.at[slot]  # 3-D view of this step's window buffer
 
     if meta.res_mode == 1:
         # snapshot the residual rows into the out block BEFORE any in-place
         # activation of the window corrupts them — zero extra VMEM
-        out_ref[0] = win[0, pl.ds(n, hb), pl.ds(_CB, P), slice(0, steps[-1][1])]
+        out_ref[0] = wslot[pl.ds(n, hb), pl.ds(_CB, P), slice(0, steps[-1][1])]
 
     def prelu(v, alpha_ref, L):
         # comparison in f32: Mosaic on v5e rejects bf16 cmpf
@@ -199,7 +230,7 @@ def _kernel(meta: _Meta, *refs):
         return jnp.where(v.astype(jnp.float32) >= 0, v,
                          v * a[None, :, :].astype(v.dtype))
 
-    src = win  # level-0 buffer
+    src = wslot  # level-0 buffer
     for k, ((Lin, Lout, has_pre, has_beta), (wk, bias, alpha, beta)) in enumerate(
         zip(steps, step_refs)
     ):
@@ -211,13 +242,8 @@ def _kernel(meta: _Meta, *refs):
             # activate only the rows this conv reads (the buffers are
             # allocated at full window height; deeper levels use less)
             rows_k = hb + 2 * (n - k)
-            if k == 0:
-                win[0, pl.ds(0, rows_k), :, :] = prelu(
-                    win[0, pl.ds(0, rows_k), :, :], alpha, Lin)
-            else:
-                src[pl.ds(r0, rows_k), :, :] = prelu(
-                    src[pl.ds(r0, rows_k), :, :], alpha, Lin)
-        src_k, idx0 = src, ((0,) if src is win else ())
+            src[pl.ds(r0, rows_k), :, :] = prelu(
+                src[pl.ds(r0, rows_k), :, :], alpha, Lin)
 
         # bias folded into the accumulator init (f32 add pre-cast — within
         # bf16 rounding of XLA's post-cast bias add; exact in f32)
@@ -225,8 +251,8 @@ def _kernel(meta: _Meta, *refs):
             bias[0:1, :].astype(jnp.float32), (out_rows * P, Lout))
         for dy in range(3):
             for gx in range(3):
-                a = src_k[idx0 + (pl.ds(r0 + dy, out_rows),
-                                  pl.ds(_CB - 1 + gx, P), slice(0, Lin))]
+                a = src[pl.ds(r0 + dy, out_rows),
+                        pl.ds(_CB - 1 + gx, P), slice(0, Lin)]
                 acc = acc + jnp.dot(
                     a.reshape(out_rows * P, Lin), wk[dy * 3 + gx],
                     preferred_element_type=jnp.float32,
@@ -235,8 +261,8 @@ def _kernel(meta: _Meta, *refs):
         y = acc.astype(meta.dtype).reshape(out_rows, P, Lout)
 
         if has_beta:
-            prev = src_k[idx0 + (pl.ds(r0 + 1, out_rows), pl.ds(_CB, P),
-                                 slice(0, Lin))]
+            prev = src[pl.ds(r0 + 1, out_rows), pl.ds(_CB, P),
+                       slice(0, Lin)]
             bv = y * beta[0:1, :][None, :, :].astype(y.dtype) + prev
             y = jnp.where(bv.astype(jnp.float32) >= 0, bv, bv * 0.2)
 
@@ -282,7 +308,7 @@ def _choose_hb(H: int, n: int, PW: int, lanes: Sequence[int], itemsize: int,
     for hb in cands:
         rows = hb + 2 * n
         tot = (
-            rows * PW * lanes[0] * itemsize                      # input window
+            2 * rows * PW * lanes[0] * itemsize             # window (2 slots)
             + min(2, max(0, n - 1)) * rows * PW * lmid * itemsize  # mid bufs
             + 2 * hb * PW * lanes[-1] * itemsize                 # out (piped)
             + (2 * hb * PW * lanes[-1] * itemsize if has_res == 2 else 0)
@@ -293,6 +319,24 @@ def _choose_hb(H: int, n: int, PW: int, lanes: Sequence[int], itemsize: int,
     return None
 
 
+def pack_cols(x: jax.Array, f: int) -> jax.Array:
+    """(N,H,W,C) -> the kernel's packed (N,H,W/f,f*C) column layout.
+
+    NOT free on TPU: retiling C=64 (half-empty 128-lane tiles) into full
+    128-lane tiles is a real relayout (~1.4 ms in-graph at GridNet-L0 size).
+    Callers keep tensors packed across whole chain lattices (see
+    models/gmfss_nets._gridnet_fused) so the cost is paid at the lattice
+    boundary, not per invocation."""
+    N, H, W, C = x.shape
+    return x.reshape(N, H, W // f, f * C)
+
+
+def unpack_cols(x: jax.Array, f: int) -> jax.Array:
+    """Inverse of :func:`pack_cols` (same relayout cost)."""
+    N, H, P, FC = x.shape
+    return x.reshape(N, H, P * f, FC // f)
+
+
 def conv_chain(
     x: jax.Array,
     steps: Sequence[ChainStep],
@@ -301,6 +345,7 @@ def conv_chain(
     res: jax.Array | None = None,
     hb: int | None = None,
     interpret: bool | None = None,
+    packed: bool = False,
 ) -> jax.Array:
     """Run a chain of 3x3/stride-1/pad-1 convs fused in one Pallas kernel.
 
@@ -312,13 +357,25 @@ def conv_chain(
 
     residual: 'none' | 'input' (adds x, requires C_out == C0) | 'extra'
     (adds ``res``).  Returns (N, H, W, C_out).
+
+    packed: ``x`` (and ``res``/the return value) use the pre-packed
+    (N, H, W/f, f*C) layout of :func:`pack_cols`, skipping the per-call
+    relayout entirely — the f > 1 fast path for chains whose neighbors are
+    also chains.
     """
-    N, H, W, C0 = x.shape
-    chs = [C0] + [s.w.shape[3] for s in steps]
+    if packed:
+        N, H, P, FC0 = x.shape
+        chs = [steps[0].w.shape[2]] + [s.w.shape[3] for s in steps]
+        f = max(1, 128 // min(chs))
+        assert FC0 == f * chs[0], (x.shape, f, chs)
+        W = P * f
+    else:
+        N, H, W, C0 = x.shape
+        chs = [C0] + [s.w.shape[3] for s in steps]
+        f = max(1, 128 // min(chs))
     for s, cin in zip(steps, chs[:-1]):
         assert s.w.shape[:3] == (3, 3, cin), (s.w.shape, cin)
         assert s.pre_alpha is None or s.beta is None
-    f = max(1, 128 // min(chs))
     assert all((f * c) % 128 == 0 for c in chs), (f, chs)
     assert W % f == 0 and (W // f) % 8 == 0, (W, f)
     P = W // f
@@ -326,7 +383,7 @@ def conv_chain(
     n = len(steps)
     res_mode = {"none": 0, "input": 1, "extra": 2}[residual]
     if res_mode == 1:
-        assert chs[-1] == C0
+        assert chs[-1] == chs[0]
     dtype = x.dtype
     itemsize = jnp.dtype(dtype).itemsize
     lanes = [f * c for c in chs]
@@ -339,11 +396,11 @@ def conv_chain(
     assert H % hb == 0 and (hb >= n or hb == H), (H, hb, n)
     nb = H // hb
 
-    # FREE layout change — same bytes (this used to be a jnp.pad, i.e. a
-    # 2x-full-tensor HBM copy that dominated the kernel's measured time;
-    # the halo/edge zeros are DMA'd inside the kernel instead)
-    xp = x.reshape(N, H, P, f * C0)
-    zrows = jnp.zeros((n, P, f * C0), dtype)
+    # NOTE: for f > 1 this reshape is a measured ~1.4 ms relayout in-graph
+    # (64-lane -> 128-lane retiling), NOT free — callers on the hot path
+    # pass packed=True and keep whole lattices in the packed layout.
+    xp = x if packed else x.reshape(N, H, P, f * chs[0])
+    zrows = jnp.zeros((n, P, f * chs[0]), dtype)
 
     meta = _Meta(
         steps=tuple((f * ci, f * co, s.pre_alpha is not None, s.beta is not None)
@@ -356,8 +413,13 @@ def conv_chain(
     in_specs = [pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY)]
     if res_mode == 2:
-        assert res is not None and res.shape == (N, H, W, chs[-1])
-        inputs.append(res.reshape(N, H, P, f * chs[-1]))
+        assert res is not None
+        if packed:
+            assert res.shape == (N, H, P, f * chs[-1]), res.shape
+            inputs.append(res)
+        else:
+            assert res.shape == (N, H, W, chs[-1]), res.shape
+            inputs.append(res.reshape(N, H, P, f * chs[-1]))
         in_specs.append(
             pl.BlockSpec((1, hb, P, f * chs[-1]), lambda ni, b: (ni, b, 0, 0))
         )
@@ -375,10 +437,10 @@ def conv_chain(
 
     win_rows = hb + 2 * n
     lmid = max(lanes[1:-1], default=0)
-    scratch = [pltpu.VMEM((1, win_rows, PW, lanes[0]), dtype)]
+    scratch = [pltpu.VMEM((2, win_rows, PW, lanes[0]), dtype)]  # double-buffered
     for _ in range(min(2, max(0, n - 1))):
         scratch.append(pltpu.VMEM((win_rows, PW, lmid), dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((1,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -396,4 +458,4 @@ def conv_chain(
         ),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(N, H, W, chs[-1])
+    return out if packed else out.reshape(N, H, W, chs[-1])

@@ -24,6 +24,47 @@ def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(n, h * r, w * r, c)
 
 
+def fold_conv_after_shuffle(w: jax.Array, b: jax.Array | None, r: int):
+    """Commute a same-padded odd-k conv THROUGH a preceding pixel shuffle.
+
+    ``conv2d(pixel_shuffle(x, r), w, padding=k//2)`` equals
+    ``pixel_shuffle(conv2d(x, w_lo, padding=1) + b_lo, r)`` with the
+    returned ``(w_lo, b_lo)`` — the standard polyphase identity. Each
+    output phase (py, px) of the full-res conv reads a k x k full-res
+    window, which lands inside a 3 x 3 low-res window; the full-res kernel
+    is embedded into a (3r, 3r) canvas at offset (py + r - k//2, ...) and
+    the canvas regrouped as (DY, qy, DX, qx) with the shuffle's c-major
+    channel order. Zero padding is exact: the only canvas slots that read
+    out-of-frame low-res pixels are ones whose full-res taps are the conv's
+    own zero padding (all other slots of those border groups hold zeros).
+
+    w: (k, k, cin, cout) HWIO, k odd, k <= 2r+1. Returns
+    w_lo (3, 3, cin*r*r, cout*r*r), b_lo (cout*r*r,) or None.
+
+    Why: a shuffle at large spatial dims followed by a full-res conv
+    lowers to a cascade of 6-D transpose copies (measured ~25-30 ms for
+    GridNet's (544,960,256)->(1088,1920,64)->conv_last tail); folding runs
+    the conv on 1/4 the pixels and shuffles r*r*cout channels instead.
+    """
+    k, _, cin, cout = w.shape
+    if k % 2 != 1 or k > 2 * r + 1:
+        raise ValueError(f"fold_conv_after_shuffle: k={k} needs odd k <= {2 * r + 1}")
+    lo = jnp.zeros((3, 3, cin * r * r, cout * r * r), w.dtype)
+    for py in range(r):
+        for px in range(r):
+            lp_y = py + r - k // 2
+            lp_x = px + r - k // 2
+            cv = jnp.pad(
+                w,
+                ((lp_y, 3 * r - lp_y - k), (lp_x, 3 * r - lp_x - k), (0, 0), (0, 0)),
+            )
+            cv = cv.reshape(3, r, 3, r, cin, cout).transpose(0, 2, 4, 1, 3, 5)
+            cv = cv.reshape(3, 3, cin * r * r, cout)
+            lo = lo.at[:, :, :, py * r + px :: r * r].set(cv)
+    b_lo = None if b is None else jnp.repeat(b, r * r)
+    return lo, b_lo
+
+
 def conv_transpose2d(
     x: jax.Array,
     kernel: jax.Array,

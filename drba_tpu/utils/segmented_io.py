@@ -114,13 +114,13 @@ class SegmentedVideoIO:
         fname = f"seg_{index:05d}.mp4"
         path = os.path.join(self.work_dir, fname)
         if shutil.which("ffmpeg"):
-            encoder, preset = ("h264_nvenc", "p7") if self.hwaccel else ("libx264", "medium")
+            from drba_tpu.utils.video_io import select_encoder
+
             proc = subprocess.Popen(
                 ["ffmpeg", "-y", "-loglevel", "error", "-f", "rawvideo",
                  "-pix_fmt", "rgb24", "-r", f"{self.dst_fps}",
                  "-s", f"{self.width}x{self.height}", "-i", "pipe:0",
-                 "-c:v", encoder, "-pix_fmt", "yuv420p", "-qp", "16",
-                 "-preset", preset, path],
+                 *select_encoder(self.hwaccel), "-pix_fmt", "yuv420p", path],
                 stdin=subprocess.PIPE,
             )
             return fname, proc, None

@@ -64,6 +64,38 @@ def make_kernel(mode):
                 else:
                     out_ref[0] = y
             return
+        if mode == "noop":
+            # DMA + buffer writes only — the zero-matmul floor
+            y0 = win[0, pl.ds(0, HB + 2), pl.ds(0, P), :] * 2.0
+            bufB[pl.ds(1, HB + 2), pl.ds(1, P), slice(0, 128)] = y0
+            y1 = bufB[pl.ds(0, HB), pl.ds(0, P), :] * 2.0
+            out_ref[0] = y1
+            return
+        if mode == "dmaonly":
+            out_ref[0] = win[0, pl.ds(2, HB), pl.ds(1, P), :]
+            return
+        if mode == "kpack":
+            # one K=1152 matmul per conv: taps concatenated along K so the
+            # MXU accumulates internally instead of 9 RMW passes over a
+            # VMEM-resident f32 accumulator
+            wk2 = wk[...].reshape(9 * 128, 128)
+            for conv in range(2):
+                rows = HB + 2 if conv == 0 else HB
+                src = win if conv == 0 else bufB
+                idx0 = (0,) if conv == 0 else ()
+                taps = [
+                    src[idx0 + (pl.ds(conv + dy, rows), pl.ds(gx, P),
+                                slice(0, 128))].reshape(rows * P, 128)
+                    for dy in range(3) for gx in range(3)
+                ]
+                a = jnp.concatenate(taps, axis=1)  # (rows*P, 1152)
+                y = jnp.dot(a, wk2, preferred_element_type=jnp.float32)
+                y = y.astype(jnp.bfloat16).reshape(rows, P, 128)
+                if conv == 0:
+                    bufB[pl.ds(1, rows), pl.ds(1, P), slice(0, 128)] = y
+                else:
+                    out_ref[0] = y
+            return
         if mode == "bufB":
             # in-place -> separate intermediate buffer, same extents as full
             for conv in range(2):

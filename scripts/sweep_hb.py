@@ -16,8 +16,8 @@ def timeit(name, fn, *a, n=8):
     t0=time.perf_counter()
     for _ in range(n): out = fn(*a)
     float(sync(out)); print(f"run {(time.perf_counter()-t0)/n*1e3:8.2f} ms", flush=True)
-for res, pre in (("input", True), ("none", True), ("none", False)):
-    for hb in (32,):
+for res, pre in (("input", True), ("none", False)):
+    for hb in (32, 34, 68):
         try:
             timeit(f"2step res={res} pre={pre} hb={hb}",
                    jax.jit(functools.partial(conv_chain, residual=res, hb=hb)), x, mk(pre))

@@ -111,6 +111,24 @@ def test_uneven_band_boundaries_match():
     _check(x, _steps(rng, [64, 64, 64], pre=True), residual="input", hb=5)
 
 
+def test_packed_io_matches_unpacked():
+    """packed=True consumes/produces the pre-packed layout bit-identically."""
+    from drba_tpu.ops.conv_chain import pack_cols, unpack_cols
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 32, 64)).astype(np.float32))
+    steps = _steps(rng, [64, 64, 64], pre=True)
+    res = jnp.asarray(rng.normal(0, 1, (2, 16, 32, 64)).astype(np.float32))
+    for residual, r in (("none", None), ("input", None), ("extra", res)):
+        want = conv_chain(x, steps, residual=residual, res=r, hb=8,
+                          interpret=True)
+        rp = pack_cols(r, 2) if r is not None else None
+        got = conv_chain(pack_cols(x, 2), steps, residual=residual, res=rp,
+                         hb=8, interpret=True, packed=True)
+        np.testing.assert_array_equal(np.asarray(unpack_cols(got, 2)),
+                                      np.asarray(want))
+
+
 def test_gridnet_fused_matches_xla():
     """Full GridNet with fused L0 conv chains vs the plain XLA lattice."""
     from drba_tpu.models.gmfss_nets import (

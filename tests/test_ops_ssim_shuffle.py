@@ -42,6 +42,30 @@ def test_pixel_shuffle_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("r,k,cin,cout", [(2, 3, 16, 3), (2, 1, 8, 5), (4, 3, 4, 2)])
+def test_fold_conv_after_shuffle_identity(r, k, cin, cout):
+    """conv(shuffle(u)) == shuffle(conv_lo(u)) for the polyphase fold used
+    by the GridNet tail (odd frame dims included to exercise edges)."""
+    import jax
+
+    from drba_tpu.ops.shuffle import fold_conv_after_shuffle
+
+    u = jnp.asarray(RNG.standard_normal((2, 5, 7, cin * r * r), dtype=np.float32))
+    w = jnp.asarray(RNG.standard_normal((k, k, cin, cout), dtype=np.float32))
+    b = jnp.asarray(RNG.standard_normal((cout,), dtype=np.float32))
+
+    def conv(x, w, b, pad):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y if b is None else y + b
+
+    want = conv(pixel_shuffle(u, r), w, b, k // 2)
+    w_lo, b_lo = fold_conv_after_shuffle(w, b, r)
+    got = pixel_shuffle(conv(u, w_lo, b_lo, 1), r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("k,s,p", [(4, 2, 1), (3, 1, 1), (2, 2, 0)])
 def test_conv_transpose2d_matches_torch(k, s, p):
     n, h, w, ci, co = 2, 6, 5, 4, 3

@@ -42,6 +42,31 @@ def _frames(path):
     return out
 
 
+def test_hw_flag_never_crashes_where_plain_mode_works(tmp_path):
+    """``-hw`` on a host without the reference's hardcoded nvenc
+    (models/utils/tools.py:176-178) must probe and fall back — the output
+    file must exist and decode with the right frame count (VERDICT r2 #6),
+    through both the plain and the segmented writer."""
+    from drba_tpu.cli import main
+    from drba_tpu.utils.video_io import select_encoder
+
+    args = select_encoder(True)
+    assert "-c:v" in args  # probe returned a concrete encoder selection
+
+    inp = str(tmp_path / "in.mp4")
+    _make_video(inp)
+    out = str(tmp_path / "hw.mp4")
+    stats = main(["-m", "rife", "-i", inp, "-o", out, "-t", "2", "--fp32",
+                  "-hw", "--weights", str(tmp_path / "none")])
+    assert stats.frames_out == 20
+    assert len(_frames(out)) == 20
+
+    seg = str(tmp_path / "hw_seg.mp4")
+    main(["-m", "rife", "-i", inp, "-o", seg, "-t", "2", "--fp32", "-hw",
+          "--seg-frames", "6", "--weights", str(tmp_path / "none")])
+    assert len(_frames(seg)) == 20
+
+
 def test_segmented_resume_matches_uninterrupted(tmp_path):
     from drba_tpu.cli import main
 
