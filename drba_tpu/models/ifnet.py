@@ -22,7 +22,9 @@ import jax.numpy as jnp
 from drba_tpu.models.layers import Params, conv2d, conv_transpose2d, leaky_relu
 from drba_tpu.ops import backwarp, pixel_shuffle
 from drba_tpu.ops.warp import _sample_pixels
-from drba_tpu.ops.warp_mxu import backwarp_mxu, sample_positions_mxu
+from drba_tpu.ops.warp_mxu import (
+    backwarp_mxu, sample_positions_mxu, warp_downsample2_mxu,
+)
 from drba_tpu.ops.resize import resize_bilinear
 
 BLOCK_CHANNELS = (192, 128, 96, 64, 32)
@@ -320,14 +322,23 @@ def ifnet_apply(
                     p, i, x, flow, sc, x_at_scale=True, out_size=(h, w),
                     conv_backend=conv_backend,
                 )
-            elif ki == 2:  # MXU warp at full res + exact 2x downsample
-                wf0, wf1 = _backwarp2(
-                    jnp.concatenate([img0[..., :3], f0], axis=-1),
-                    jnp.concatenate([img1[..., :3], f1], axis=-1),
-                    flow, use_mxu,
-                )
-                w0 = resize_bilinear(wf0, (h // 2, w // 2))
-                w1 = resize_bilinear(wf1, (h // 2, w // 2))
+            elif ki == 2:
+                a = jnp.concatenate([img0[..., :3], f0], axis=-1)
+                bimg = jnp.concatenate([img1[..., :3], f1], axis=-1)
+                if use_mxu and h % 16 == 0 and w % 2 == 0:
+                    # fused warp + 2x downsample: rank-1 marginal taps do the
+                    # downsample inside the sampling matmul at 1/4 the
+                    # positions (ops/warp_mxu.warp_downsample2_mxu)
+                    n = a.shape[0]
+                    both = warp_downsample2_mxu(
+                        jnp.concatenate([a, bimg], axis=0),
+                        jnp.concatenate([flow[..., 0:2], flow[..., 2:4]], axis=0),
+                    )
+                    w0, w1 = both[:n], both[n:]
+                else:  # warp at full res + exact 2x downsample
+                    wf0, wf1 = _backwarp2(a, bimg, flow, use_mxu)
+                    w0 = resize_bilinear(wf0, (h // 2, w // 2))
+                    w1 = resize_bilinear(wf1, (h // 2, w // 2))
                 rest = resize_bilinear(
                     jnp.concatenate([timestep, mask, feat], axis=-1), (h // 2, w // 2)
                 )

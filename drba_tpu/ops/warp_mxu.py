@@ -10,12 +10,17 @@ Per tile:
   1. one async DMA fetches the window ``(C, WH, WW)`` from HBM at a per-tile
      offset (mid-range of the tile's integer source coords, delivered via
      scalar prefetch);
-  2. the horizontal bilinear sample becomes a matmul with a 2-sparse one-hot
-     matrix ``B (WW, 128)`` built on the VPU per output row:
-     ``H = (window as (C*WH, WW)) @ B`` — the MXU does in ~2 us what the
-     gather pipeline serializes per index;
-  3. the vertical bilinear sample is a 2-sparse masked reduction over the WH
-     window rows on the VPU.
+  2. the horizontal bilinear sample becomes a matmul with a sparse sampling
+     matrix ``B (WW, 128)`` built on the VPU per output row in closed tent
+     form ``clamp(hw - |x - p|, 0, 1)`` (the bilinear hat for hw=1; the
+     hw=1.5 trapezoid averages the two taps at p +- 0.5 for the fused 2x
+     downsample): ``H = (window as (C*WH, WW)) @ B`` — the MXU does in ~2 us
+     what the gather pipeline serializes per index. The tent form costs 4
+     VPU ops/element vs ~10 for the two-corner one-hot build it replaced —
+     the build is the kernel's channel-independent cost floor (~1 us/tile,
+     dominant for few-channel warps);
+  3. the vertical bilinear sample is the same tent as a masked reduction
+     over the WH window rows on the VPU.
 
 Semantics match ops.warp.backwarp with ``padding_mode='border'``
 (reference: models/rife_426_heavy/warplayer.py:8-22) EXACTLY for every pixel
@@ -45,8 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 TH, TW = 8, 128  # output tile
 
 
-def _kernel(ys_ref, xs_ref, x0_ref, wx_ref, y0_ref, wy_ref, img_ref, out_ref,
-            win, sem, *, nty, ntx, wh, ww, c):
+def _kernel(ys_ref, xs_ref, qx_ref, qy_ref, img_ref, out_ref,
+            win, sem, *, nty, ntx, wh, ww, c, spread):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -80,46 +85,41 @@ def _kernel(ys_ref, xs_ref, x0_ref, wx_ref, y0_ref, wy_ref, img_ref, out_ref,
     win_dma(t % 2, t).wait()
     m = win[t % 2].reshape(c * wh, ww)  # free: wh is a sublane-tile multiple
 
-    # Mosaic iota is integer-only; compares run in f32 (no bf16 compares on
-    # v5e), so convert once.
+    # Mosaic iota is integer-only; arithmetic runs in f32 (no bf16 compares
+    # on v5e), so convert once. Tent half-width 1 + spread; weight sum per
+    # column is 1 + 2*spread, normalized by s.
     xx = jax.lax.broadcasted_iota(jnp.int32, (ww, TW), 0).astype(jnp.float32)
     rr = jax.lax.broadcasted_iota(jnp.int32, (wh, TW), 0).astype(jnp.float32)
+    hwidth = 1.0 + spread
+    s = 1.0 / (1.0 + 2.0 * spread)
     for y in range(TH):
-        x0y = x0_ref[0, y, :][None, :]  # (1, TW) f32: window-relative x0
-        wxy = wx_ref[0, y, :][None, :]
-        bmat = (
-            jnp.where(xx == x0y, 1.0 - wxy, 0.0)
-            + jnp.where(xx == x0y + 1.0, wxy, 0.0)
-        ).astype(m.dtype)
-        h = jnp.dot(m, bmat, preferred_element_type=jnp.float32)  # (c*wh, TW)
+        qxy = qx_ref[0, y, :][None, :]  # (1, TW) f32: window-relative center
+        bmat = jnp.clip(hwidth - jnp.abs(xx - qxy), 0.0, 1.0) * s
+        h = jnp.dot(m, bmat.astype(m.dtype),
+                    preferred_element_type=jnp.float32)  # (c*wh, TW)
         h3 = h.reshape(c, wh, TW)
-
-        y0y = y0_ref[0, y, :][None, :]
-        wyy = wy_ref[0, y, :][None, :]
-        a = jnp.where(rr == y0y, 1.0 - wyy, 0.0) + jnp.where(
-            rr == y0y + 1.0, wyy, 0.0
-        )
+        qyy = qy_ref[0, y, :][None, :]
+        a = jnp.clip(hwidth - jnp.abs(rr - qyy), 0.0, 1.0) * s
         out_ref[0, :, y, :] = jnp.sum(h3 * a[None], axis=1).astype(out_ref.dtype)
 
 
-def _prep_positions(px, py, h, w, wh, ww):
-    """Clamped integer corners, fractional weights, per-tile window starts.
+def _prep_positions(px, py, h, w, wh, ww, spread=0.0):
+    """Window-relative sample centers and per-tile window starts.
 
     ``px, py`` are absolute sample positions (B, Ho, Wo) into an (h, w)
-    image; the output grid need not match the input resolution (the
-    tap-fused warp-then-downsample path samples a strided tap grid).
+    image — tent centers; the kernel's tent half-width is ``1 + spread``
+    (spread 0: plain bilinear; 0.5: the fused 2x-downsample trapezoid). The
+    output grid need not match the input resolution (the tap-fused
+    warp-then-downsample path samples a strided tap grid).
     """
-    _, ho, wo = px.shape
+    bsz, ho, wo = px.shape
     nty, ntx = ho // TH, wo // TW
     # border padding == clamping the sample position (see ops/warp.py)
     px = jnp.clip(px.astype(jnp.float32), 0.0, w - 1)
     py = jnp.clip(py.astype(jnp.float32), 0.0, h - 1)
     x0 = jnp.minimum(jnp.floor(px), w - 2).astype(jnp.int32)
     y0 = jnp.minimum(jnp.floor(py), h - 2).astype(jnp.int32)
-    wx = px - x0.astype(jnp.float32)
-    wy = py - y0.astype(jnp.float32)
 
-    bsz = px.shape[0]
     # Mosaic requires provably aligned dynamic slice starts: quantize window
     # starts to 8 rows / 128 lanes (the clamp keeps them in range, and the
     # flooring is absorbed by the window margins).
@@ -134,33 +134,38 @@ def _prep_positions(px, py, h, w, wh, ww):
 
     xs_b = jnp.repeat(jnp.repeat(xs, TH, axis=1), TW, axis=2)
     ys_b = jnp.repeat(jnp.repeat(ys, TH, axis=1), TW, axis=2)
-    x0r = jnp.clip(x0 - xs_b, 0, ww - 2).astype(jnp.float32)
-    y0r = jnp.clip(y0 - ys_b, 0, wh - 2).astype(jnp.float32)
-    covered = (x0 - xs_b == x0r.astype(jnp.int32)) & (
-        y0 - ys_b == y0r.astype(jnp.int32)
+    # clamp centers so the whole tent support sits inside the window: no
+    # sampling mass is lost off-window (uncovered pixels and trapezoid
+    # borders shift to the window edge instead — bounded, localized)
+    qx = jnp.clip(px - xs_b, spread, ww - 1 - spread)
+    qy = jnp.clip(py - ys_b, spread, wh - 1 - spread)
+    covered = (jnp.abs(px - xs_b - qx) <= spread + 1e-6) & (
+        jnp.abs(py - ys_b - qy) <= spread + 1e-6
     )
-    return x0r, wx, y0r, wy, ys.reshape(-1), xs.reshape(-1), covered
+    return qx, qy, ys.reshape(-1), xs.reshape(-1), covered
 
 
 def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
-                wh: int, ww: int) -> jax.Array:
-    """Core: sample img_chw (B,C,H,W) at positions (B,Ho,Wo) -> (B,C,Ho,Wo)."""
+                wh: int, ww: int, spread: float = 0.0) -> jax.Array:
+    """Core: sample img_chw (B,C,H,W) at centers (B,Ho,Wo) -> (B,C,Ho,Wo).
+
+    ``spread=0``: plain bilinear; ``spread=0.5``: each output averages the
+    two taps at center +- 0.5 per axis (the fused 2x-downsample)."""
     bsz, c, h, w = img_chw.shape
     _, ho, wo = px.shape
     assert ho % TH == 0 and wo % TW == 0 and w >= ww and h >= wh, (ho, wo, h, w)
     assert wh % 16 == 0 and ww % 128 == 0, (wh, ww)
     nty, ntx = ho // TH, wo // TW
 
-    x0r, wx, y0r, wy, ys, xs, _ = _prep_positions(px, py, h, w, wh, ww)
+    qx, qy, ys, xs, _ = _prep_positions(px, py, h, w, wh, ww, spread)
 
+    plane = pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bsz, nty, ntx),
         in_specs=[
-            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
-            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
-            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
-            pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j)),
+            plane,
+            plane,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -172,11 +177,12 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, nty=nty, ntx=ntx, wh=wh, ww=ww, c=c),
+        functools.partial(_kernel, nty=nty, ntx=ntx, wh=wh, ww=ww, c=c,
+                          spread=spread),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, c, ho, wo), img_chw.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(ys, xs, x0r, wx, y0r, wy, img_chw)
+    )(ys, xs, qx, qy, img_chw)
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
@@ -203,15 +209,18 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -
     return sample_positions_mxu(img, px, py, wh, ww)
 
 
-@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+@functools.partial(jax.jit, static_argnames=("wh", "ww", "spread"))
 def sample_positions_mxu(img: jax.Array, px: jax.Array, py: jax.Array,
-                         wh: int = 32, ww: int = 384) -> jax.Array:
+                         wh: int = 32, ww: int = 384,
+                         spread: float = 0.0) -> jax.Array:
     """Bilinear-sample img (B,H,W,C) at absolute positions (B,Ho,Wo) with
     border clamping -> (B,Ho,Wo,C). The output grid is arbitrary — the
     tap-fused warp+downsample uses a strided tap grid (see ifnet.py). ``Wo``
     is padded to a lane multiple internally (edge-replicated positions) and
     sliced back; a non-lane-multiple image W is edge-padded (positions are
     clamped to the true extent first, so border semantics are exact).
+    ``spread=0.5`` averages the taps at position +- 0.5 per axis (see
+    ``warp_downsample2_mxu``).
     """
     bsz, h, w, c = img.shape
     _, ho, wo = px.shape
@@ -226,8 +235,45 @@ def sample_positions_mxu(img: jax.Array, px: jax.Array, py: jax.Array,
         px = jnp.pad(px, ((0, 0), (0, 0), (0, wo_pad - wo)), mode="edge")
         py = jnp.pad(py, ((0, 0), (0, 0), (0, wo_pad - wo)), mode="edge")
     img_chw = jnp.transpose(img, (0, 3, 1, 2))
-    out = _sample_chw(img_chw, px, py, wh, min(ww, w_pad))
+    out = _sample_chw(img_chw, px, py, wh, min(ww, w_pad), spread)
     return jnp.transpose(out, (0, 2, 3, 1))[:, :, :wo, :]
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def warp_downsample2_mxu(img: jax.Array, flow: jax.Array,
+                         wh: int = 32, ww: int = 512) -> jax.Array:
+    """Fused ``downsample_2x(backwarp(img, flow))`` -> (B, H/2, W/2, C).
+
+    Replaces the full-res warp + bilinear 2x downsample pair on IFNet's
+    scale-2 stage (reference semantics: warp at IFNet_HDv3.py:151-158 then
+    F.interpolate 0.5x at :85). Each half-res output averages the warped
+    2x2 full-res cell; that average folds into the kernel's separable
+    sampling as the RANK-1 cross of two taps per axis at cell-center
+    +- 0.5, displaced by the CELL-AVERAGED flow (``spread=0.5`` trapezoid
+    weights). The cross reproduces the exact 4-tap average wherever flow is
+    locally constant over the cell, and drifts by at most the intra-cell
+    flow spread (<< 1px) at motion boundaries. Using the pooled flow keeps
+    the prep to one cheap 2x flow downsample — per-lane strided slices of
+    the flow planes measure ~23 ms at 1080p on this TPU (lane deinterleave),
+    10x the cost of the whole remaining prep.
+
+    Runs at 1/4 the sample positions of warp + resize; window (32, 512)
+    because a half-res tile spans 256 source columns / 16 rows.
+
+    Requires H % 16 == 0 and W % 2 == 0.
+    """
+    from drba_tpu.ops.resize import resize_bilinear
+
+    _, h, w, _ = img.shape
+    assert h % 16 == 0 and w % 2 == 0, (h, w)
+    fm = resize_bilinear(flow, (h // 2, w // 2))  # exact 2x2 cell average
+    # cell centers (2j + 0.5, 2i + 0.5); the +-0.5 tap offsets come from the
+    # kernel's spread=0.5 trapezoid
+    gx = (jnp.arange(0, w, 2, dtype=jnp.float32) + 0.5)[None, None, :]
+    gy = (jnp.arange(0, h, 2, dtype=jnp.float32) + 0.5)[None, :, None]
+    px = gx + fm[..., 0].astype(jnp.float32)
+    py = gy + fm[..., 1].astype(jnp.float32)
+    return sample_positions_mxu(img, px, py, wh, ww, spread=0.5)
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))

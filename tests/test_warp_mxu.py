@@ -73,8 +73,13 @@ def test_uncovered_pixels_clamp_finite():
 
 
 def test_ifnet_mxu_vs_gather_parity():
-    """ifnet_apply(warp_backend='mxu') == 'gather' end to end (random
-    weights; IFNet's own flows are small, so every tile is covered)."""
+    """ifnet_apply(warp_backend='mxu') ~= 'gather' end to end (random
+    weights; IFNet's own flows are small, so every tile is covered).
+
+    The scale-2 stage's fused warp+downsample taps deviate from the exact
+    warp-then-resize by the intra-cell flow spread (rank-1 marginal taps,
+    ops/warp_mxu.warp_downsample2_mxu); on the final merged frame that is
+    measured < 1e-3 here — the atol pins it as a regression floor."""
     from drba_tpu.convert import load_network
     from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply
 
@@ -89,8 +94,52 @@ def test_ifnet_mxu_vs_gather_parity():
     out_g, _ = ifnet_apply(p, img0, img1, t, scales, warp_backend="gather")
     out_m, _ = ifnet_apply(p, img0, img1, t, scales, warp_backend="mxu")
     np.testing.assert_allclose(
-        np.asarray(out_m), np.asarray(out_g), atol=2e-5, rtol=0
+        np.asarray(out_m), np.asarray(out_g), atol=3e-3, rtol=0
     )
+
+
+def test_warp_downsample2_fused():
+    """Fused warp+2x-downsample: exact for constant flow, bounded drift on
+    smooth flows (rank-1 marginal-tap approximation), vs the exact
+    warp-then-bilinear-downsample reference."""
+    from drba_tpu.ops.resize import resize_bilinear
+    from drba_tpu.ops.warp_mxu import warp_downsample2_mxu
+
+    rng = np.random.default_rng(8)
+    b, h, w, c = 1, 64, 512, 5
+    img = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)).astype(np.float32))
+
+    const = jnp.broadcast_to(jnp.asarray([7.3, -2.2], jnp.float32), (b, h, w, 2))
+    exact = np.asarray(resize_bilinear(backwarp(img, const), (h // 2, w // 2)))
+    fused = np.asarray(warp_downsample2_mxu(img, const))
+    # exact wherever no tap hits the frame border (the border ring handles
+    # replicate-clamping with the trapezoid pulled inward — bounded, local)
+    m = 8
+    np.testing.assert_allclose(
+        fused[:, m:-m, m:-m], exact[:, m:-m, m:-m], atol=1e-5, rtol=0,
+    )
+    assert np.isfinite(fused).all() and np.abs(fused - exact).max() < 0.6
+
+    smooth = _smooth_flow(rng, b, h, w, 6.0)
+    exact = np.asarray(resize_bilinear(backwarp(img, smooth), (h // 2, w // 2)))
+    fused = np.asarray(warp_downsample2_mxu(img, smooth))
+    # tap drift = intra-cell flow spread (sub-pixel); on a white-noise image
+    # (unit per-pixel gradient, the worst case) the mean error stays small
+    assert np.abs(fused - exact).mean() < 0.02
+
+    # on band-limited content (any real frame/feature map) the same drift
+    # produces proportionally small errors; measured 0.137 max at this
+    # deliberately jagged flow (0.38 px/px gradient — far above real IFNet
+    # stage-3 flows), pinned as a regression floor
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    smooth_img = jnp.asarray(np.stack(
+        [np.sin(xx / 7.0 + k) * np.cos(yy / 9.0 - k) * 0.5 + 0.5
+         for k in range(c)], axis=-1,
+    )[None])
+    exact = np.asarray(
+        resize_bilinear(backwarp(smooth_img, smooth), (h // 2, w // 2)))
+    fused = np.asarray(warp_downsample2_mxu(smooth_img, smooth))
+    assert np.abs(fused - exact).max() < 0.2
 
 
 def test_drba_window_batched_matches_vmapped_reference():
