@@ -304,14 +304,19 @@ def ifnet_apply(
             sc = scale_list[i]
             ki = int(sc) if float(sc).is_integer() and sc >= 2 and h % int(sc) == 0 and w % int(sc) == 0 else None
             if ki is not None and (ki >= 4 or not use_mxu):
-                w0 = _warp_then_downsample(
-                    jnp.concatenate([img0[..., :3], f0], axis=-1), flow[..., 0:2],
+                # both directions through ONE tap-warp call (the per-call
+                # fixed cost — dispatch, tap-grid prep, window DMA setup —
+                # amortizes across directions, as in _backwarp2)
+                n = img0.shape[0]
+                both = _warp_then_downsample(
+                    jnp.concatenate([
+                        jnp.concatenate([img0[..., :3], f0], axis=-1),
+                        jnp.concatenate([img1[..., :3], f1], axis=-1),
+                    ], axis=0),
+                    jnp.concatenate([flow[..., 0:2], flow[..., 2:4]], axis=0),
                     ki, use_mxu,
                 )
-                w1 = _warp_then_downsample(
-                    jnp.concatenate([img1[..., :3], f1], axis=-1), flow[..., 2:4],
-                    ki, use_mxu,
-                )
+                w0, w1 = both[:n], both[n:]
                 rest = resize_bilinear(
                     jnp.concatenate([timestep, mask, feat], axis=-1), (h // ki, w // ki)
                 )
