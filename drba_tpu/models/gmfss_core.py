@@ -85,40 +85,63 @@ def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False,
     return Reuse(flow01, flow10, metric0, metric1, feat0, feat1)
 
 
-def _warp_pyramid(img_h, feats, Ft, Zt, extra=None, backend="auto"):
-    """Soft-splat an image + 3-level feature pyramid along scaled flows
-    (GMFSS.py:95-115). Flow/metric are rescaled per pyramid level.
+def _warp_pyramid2(img0h, img1h, feats0, feats1, Ft0, Ft1, Zt0, Zt1,
+                   extra0=None, extra1=None, backend="auto"):
+    """Soft-splat BOTH directions' image + 3-level feature pyramids along
+    scaled flows (GMFSS.py:95-115, both calls). Flow/metric rescale per
+    pyramid level.
 
-    TPU note: the image, level-1 features and any ``extra`` channels (the
-    union path's timestep map) share (Ft, Zt), so they splat in ONE kernel
+    TPU notes: (a) the image, level-1 features and any ``extra`` channels
+    (the union path's timestep map) share (Ft, Zt), so they splat in one
     call; the warped-ones coverage comes from the same call's denominator
     (the reference issues a separate splat per tensor,
-    model_gmfss_union/GMFSS.py:93-121). Returns (It, feats, extra, coverage).
+    model_gmfss_union/GMFSS.py:93-121); (b) BOTH directions stack along the
+    batch axis, which the stencil kernel's native sample grid axis consumes
+    in a single invocation per level (ops/splat_stencil.py v4) — 3 kernel
+    invocations per window instead of 18.
+
+    Returns ((I1t, feats1w, extra0w, cov0), (I2t, feats2w, extra1w, cov1)).
     """
-    c_img = img_h.shape[-1]
-    packed = [img_h, feats[0]]
-    if extra is not None:
-        packed.append(extra)
-    w1, cov1 = softsplat(
-        jnp.concatenate(packed, axis=-1), Ft, Zt, "soft",
-        backend=backend, return_coverage=True,
-    )
-    It = w1[..., :c_img]
-    f1 = w1[..., c_img : c_img + feats[0].shape[-1]]
-    extra_w = w1[..., c_img + feats[0].shape[-1] :] if extra is not None else None
+    n = img0h.shape[0]
+    c_img = img0h.shape[-1]
+    c_f1 = feats0[0].shape[-1]
+
+    def pack(img, f1, extra):
+        parts = [img, f1]
+        if extra is not None:
+            parts.append(extra)
+        return jnp.concatenate(parts, axis=-1)
+
+    both = jnp.concatenate([pack(img0h, feats0[0], extra0),
+                            pack(img1h, feats1[0], extra1)], axis=0)
+    Ft = jnp.concatenate([Ft0, Ft1], axis=0)
+    Zt = jnp.concatenate([Zt0, Zt1], axis=0)
+    w1, cov = softsplat(both, Ft, Zt, "soft", backend=backend,
+                        return_coverage=True)
 
     # flows scale with the pyramid level, so the dense backends' exact radius
     # scales too: r=12/6/3 covers the same physical motion at every level
-    h2, w2 = feats[1].shape[1], feats[1].shape[2]
+    h2, w2 = feats0[1].shape[1], feats0[1].shape[2]
     Ftd = resize_bilinear(Ft, (h2, w2)) * 0.5
     Ztd = resize_bilinear(Zt, (h2, w2))
-    f2 = softsplat(feats[1], Ftd, Ztd, "soft", backend=backend, radius=6)
+    f2 = softsplat(jnp.concatenate([feats0[1], feats1[1]], axis=0), Ftd, Ztd,
+                   "soft", backend=backend, radius=6)
 
-    h3, w3 = feats[2].shape[1], feats[2].shape[2]
+    h3, w3 = feats0[2].shape[1], feats0[2].shape[2]
     Ftdd = resize_bilinear(Ft, (h3, w3)) * 0.25
     Ztdd = resize_bilinear(Zt, (h3, w3))
-    f3 = softsplat(feats[2], Ftdd, Ztdd, "soft", backend=backend, radius=3)
-    return It, (f1, f2, f3), extra_w, cov1
+    f3 = softsplat(jnp.concatenate([feats0[2], feats1[2]], axis=0), Ftdd, Ztdd,
+                   "soft", backend=backend, radius=3)
+
+    def unpack(d):
+        sl = slice(d * n, (d + 1) * n)
+        wd = w1[sl]
+        It = wd[..., :c_img]
+        f1w = wd[..., c_img : c_img + c_f1]
+        extra_w = wd[..., c_img + c_f1 :] if (extra0 is not None) else None
+        return It, (f1w, f2[sl], f3[sl]), extra_w, cov[sl]
+
+    return unpack(0), unpack(1)
 
 
 def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timestep1,
@@ -138,8 +161,10 @@ def gmfss_inference(p: GmfssParams, img0, img1, reuse: Reuse, timestep0, timeste
     img0h = scale_by(img0, 0.5)
     img1h = scale_by(img1, 0.5)
 
-    I1t, f1, _, _ = _warp_pyramid(img0h, reuse.feat0, F1t, Z1t, backend=backend)
-    I2t, f2, _, _ = _warp_pyramid(img1h, reuse.feat1, F2t, Z2t, backend=backend)
+    (I1t, f1, _, _), (I2t, f2, _, _) = _warp_pyramid2(
+        img0h, img1h, reuse.feat0, reuse.feat1, F1t, F2t, Z1t, Z2t,
+        backend=backend,
+    )
 
     out = gridnet_apply(
         p.fusionnet,
@@ -170,12 +195,10 @@ def gmfss_union_inference(
     img1h = scale_by(img1, 0.5)
 
     is_map = enable_mask and hasattr(timestep0, "shape") and getattr(timestep0, "ndim", 0) == 4
-    I1t, f1, w_t0, cov0 = _warp_pyramid(
-        img0h, reuse.feat0, F1t, Z1t, extra=timestep0 if is_map else None,
-        backend=backend,
-    )
-    I2t, f2, w_t1, cov1 = _warp_pyramid(
-        img1h, reuse.feat1, F2t, Z2t, extra=timestep1 if is_map else None,
+    (I1t, f1, w_t0, cov0), (I2t, f2, w_t1, cov1) = _warp_pyramid2(
+        img0h, img1h, reuse.feat0, reuse.feat1, F1t, F2t, Z1t, Z2t,
+        extra0=timestep0 if is_map else None,
+        extra1=timestep1 if is_map else None,
         backend=backend,
     )
     f1, f2 = list(f1), list(f2)

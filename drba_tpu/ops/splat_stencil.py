@@ -5,19 +5,29 @@ over integer corner offsets, exact for |offset| <= radius. The masked
 shift-adds run as dense VPU ops — no scatter, no gather, no materialized
 offset planes.
 
-Streaming structure (v3): the kernel runs on a (plane-blocks, row-bands)
-grid. Each step double-buffer-DMAs one haloed value window
-``(Pblk, hb+2r+extra, Wpad)`` plus the four weight planes for the band from
-HBM into VMEM scratch, then accumulates the band's output block. Weight
-masks are computed once per (plane-block, band) and amortized over the whole
-plane block.
+Streaming structure (v4): the kernel runs on a (samples, plane-blocks,
+row-bands) grid. Each step double-buffer-DMAs one haloed value window
+``(Pblk, hb+2r+extra, Wpad)`` plus the sample's two absolute-position
+planes (fx, fy) for the band from HBM into VMEM scratch, derives the four
+corner planes (dx0, dy0, wx1, wy1) on the VPU once per step, then
+accumulates the band's output block. Deriving weights in-kernel (v4)
+replaces the XLA-side stacked 4-plane weight materialization (tiled-layout
+writes measure ~3-6 GB/s on this stack) and halves the per-band weight DMA.
 
-Motion-adaptive bounds: the wrapper computes, per band, the integer offset
-range actually present in the flow (clipped to the radius) and prefetches it
-as scalars; the kernel skips column offsets via ``pl.when`` and row-offset
-blocks via dynamic ``fori_loop`` bounds. Cost is therefore proportional to
-the real motion magnitude — a band whose flow fits in +-2 px runs ~25 of the
-625 offset pairs; only worst-case motion pays the full stencil.
+The native sample axis (v4) replaces the former per-sample ``lax.map``:
+one kernel invocation covers a whole batch (each sample indexes its own
+flow planes via the grid), so the XLA prep batches into single fused ops
+and the longer grid pipelines the DMAs better. Model-level packing rides
+this: gmfss splats both directions x all window timesteps of one pyramid
+level in ONE invocation (models/gmfss_core.py).
+
+Motion-adaptive bounds: the wrapper computes, per (sample, band), the
+integer offset range actually present in the flow (clipped to the radius)
+and prefetches it as scalars; the kernel skips column offsets via
+``pl.when`` and row-offset blocks via dynamic ``fori_loop`` bounds. Cost is
+therefore proportional to the real motion magnitude — a band whose flow
+fits in +-2 px runs ~25 of the 625 offset pairs; only worst-case motion
+pays the full stencil.
 
 All planes travel as f32 (Mosaic on v5e rejects bf16 comparisons);
 accumulation is f32.
@@ -56,7 +66,7 @@ def _choose_blocks(p: int, h: int, wpad: int, r: int, vbytes: int = 4) -> tuple[
         rows = hb + 2 * r + extra
         return (
             2 * pblk * rows * wpad * vbytes  # double-buffered value windows
-            + 8 * rows * wpad * 4            # double-buffered weight windows
+            + 8 * rows * wpad * 4            # fx/fy windows (2x2) + derived corners (4), f32
             + pblk * hb * wpad * 4           # f32 out block
         )
 
@@ -93,18 +103,22 @@ def stencil_supported(h: int, w: int, radius: int = 12) -> bool:
     return _choose_blocks(1, h, wpad, radius, vbytes=4) is not None
 
 
-def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
-            n_pb, n_bands, pblk, hb, rows, r, w_out):
-    pb = pl.program_id(0)
-    b = pl.program_id(1)
-    t = pb * n_bands + b
-    total = n_pb * n_bands
+def _kernel(bounds_ref, v_hbm, f_hbm, out_ref, vwin, fwin, cwin, vsem, fsem,
+            *, n_s, n_pb, n_bands, pblk, hb, rows, r, w_out, wpad):
+    s = pl.program_id(0)
+    pb = pl.program_id(1)
+    b = pl.program_id(2)
+    t = (s * n_pb + pb) * n_bands + b
+    total = n_s * n_pb * n_bands
 
     def dmas(slot, tt):
-        pbb = tt // n_bands
-        bb = tt % n_bands
+        ss = tt // (n_pb * n_bands)
+        rem = tt % (n_pb * n_bands)
+        pbb = rem // n_bands
+        bb = rem % n_bands
         vc = pltpu.make_async_copy(
             v_hbm.at[
+                ss,
                 pl.ds(pbb * pblk, pblk),
                 pl.ds(pl.multiple_of(bb * hb, 8), rows),
                 :,
@@ -112,12 +126,12 @@ def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
             vwin.at[slot],
             vsem.at[slot],
         )
-        wc = pltpu.make_async_copy(
-            w_hbm.at[:, pl.ds(pl.multiple_of(bb * hb, 8), rows), :],
-            wwin.at[slot],
-            wsem.at[slot],
+        fc = pltpu.make_async_copy(
+            f_hbm.at[ss, :, pl.ds(pl.multiple_of(bb * hb, 8), rows), :],
+            fwin.at[slot],
+            fsem.at[slot],
         )
-        return vc, wc
+        return vc, fc
 
     @pl.when(t == 0)
     def _():
@@ -133,12 +147,33 @@ def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
     for c in dmas(slot, t):
         c.wait()
 
-    out_ref[...] = jnp.zeros((pblk, hb, w_out), jnp.float32)
+    # derive the corner planes once per step (VPU, ~rows*wpad*10 ops):
+    # padded col j -> absolute x = j - r; padded row i of this band ->
+    # absolute y = b*hb + i - r. The -1e9 pad fill floors to itself, so
+    # derived offsets clip to the +-512 sentinel (matches no dx/dy in
+    # [-r, r]) and the fractional parts are 0 — identical to the former
+    # XLA-side weight planes.
+    fx = fwin[slot, 0]
+    fy = fwin[slot, 1]
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, wpad), 1).astype(
+        jnp.float32) - float(r)
+    band0 = (b * hb - r).astype(jnp.float32)
+    gy = band0 + jax.lax.broadcasted_iota(jnp.int32, (rows, wpad), 0).astype(
+        jnp.float32)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    big = jnp.float32(512.0)
+    cwin[0] = jnp.clip(x0 - gx, -big, big)
+    cwin[1] = jnp.clip(y0 - gy, -big, big)
+    cwin[2] = fx - x0
+    cwin[3] = fy - y0
 
-    yb_lo = bounds_ref[b, 0]
-    yb_hi = bounds_ref[b, 1]
-    dx_lo = bounds_ref[b, 2]
-    dx_hi = bounds_ref[b, 3]
+    out_ref[0] = jnp.zeros((pblk, hb, w_out), jnp.float32)
+
+    yb_lo = bounds_ref[s * n_bands + b, 0]
+    yb_hi = bounds_ref[s * n_bands + b, 1]
+    dx_lo = bounds_ref[s * n_bands + b, 2]
+    dx_hi = bounds_ref[s * n_bands + b, 3]
 
     # Row-offset blocks iterate a dynamic (band-measured) sub-range OUTER —
     # a band with empty bounds costs zero iterations, so the 2r+1 predicated
@@ -166,23 +201,23 @@ def _kernel(bounds_ref, v_hbm, w_hbm, out_ref, vwin, wwin, vsem, wsem, *,
                     def _(dxk=dxk, sl_x=sl_x):
                         # one lane-rotate per (dx, block), amortized over 8 js
                         vsb = vwin[slot, :, pl.ds(base, hb + 8), sl_x]
-                        dx0b = wwin[slot, 0, pl.ds(base, hb + 8), sl_x]
-                        dy0b = wwin[slot, 1, pl.ds(base, hb + 8), sl_x]
-                        wx1b = wwin[slot, 2, pl.ds(base, hb + 8), sl_x]
-                        wy1b = wwin[slot, 3, pl.ds(base, hb + 8), sl_x]
+                        dx0b = cwin[0, pl.ds(base, hb + 8), sl_x]
+                        dy0b = cwin[1, pl.ds(base, hb + 8), sl_x]
+                        wx1b = cwin[2, pl.ds(base, hb + 8), sl_x]
+                        wy1b = cwin[3, pl.ds(base, hb + 8), sl_x]
                         cw = jnp.where(dx0b == dxk, 1.0 - wx1b, 0.0) + jnp.where(
                             dx0b == dxk - 1, wx1b, 0.0
                         )
                         for j in range(8):
                             # source rows start at y0 = 8*b8 + j; offset r - y0
-                            y0 = base + j
-                            dyk_f = (2 * r - y0).astype(jnp.float32) - r
-                            valid = (y0 <= 2 * r).astype(jnp.float32)
+                            y0j = base + j
+                            dyk_f = (2 * r - y0j).astype(jnp.float32) - r
+                            valid = (y0j <= 2 * r).astype(jnp.float32)
                             wy = (
                                 jnp.where(dy0b[j : j + hb, :] == dyk_f, 1.0 - wy1b[j : j + hb, :], 0.0)
                                 + jnp.where(dy0b[j : j + hb, :] == dyk_f - 1, wy1b[j : j + hb, :], 0.0)
                             ) * valid
-                            out_ref[...] += vsb[:, j : j + hb, :].astype(jnp.float32) * (
+                            out_ref[0] += vsb[:, j : j + hb, :].astype(jnp.float32) * (
                                 wy * cw[j : j + hb, :]
                             )[None]
         return 0
@@ -244,34 +279,33 @@ def _band_bounds(dx0, dy0, h, hb, rows, r):
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
-def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) -> jax.Array:
-    """Splat (P, H, W) value planes along ``flow`` (H, W, 2) -> (P, H, W) f32.
+def splat_planes_stencil_batched(planes: jax.Array, flows: jax.Array,
+                                 radius: int = 8) -> jax.Array:
+    """Splat (S, P, H, W) value planes along per-sample flows (S, H, W, 2)
+    -> (S, P, H, W) f32, in ONE kernel invocation.
 
     Value planes stream through VMEM in their OWN dtype (bf16 inputs halve
     the value DMA and VMEM footprint -> bigger blocks, fewer grid steps);
-    weights and accumulation are always f32.
+    positions, derived weights and accumulation are always f32.
     """
-    p, h, w = planes.shape
+    n_s, p, h, w = planes.shape
     vdt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
     r = radius
     extra = _align_extra(r)
     wpad = _round_up(w + 2 * r, 128)
 
-    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
-    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
-    fx = gx + flow[..., 0].astype(jnp.float32)
-    fy = gy + flow[..., 1].astype(jnp.float32)
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    fx = gx + flows[..., 0].astype(jnp.float32)
+    fy = gy + flows[..., 1].astype(jnp.float32)
     finite = jnp.isfinite(fx) & jnp.isfinite(fy)
     fx = jnp.where(finite, fx, -1e9)
     fy = jnp.where(finite, fy, -1e9)
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    # clamp offsets outside the stencil to a sentinel that matches nothing
+    # corner offsets, XLA-side, ONLY for the per-band bounds reductions
+    # (fused into the min/max — never materialized as weight planes)
     big = jnp.float32(512.0)
-    dx0 = jnp.clip(x0 - gx, -big, big)
-    dy0 = jnp.clip(y0 - gy, -big, big)
-    wx1 = fx - x0
-    wy1 = fy - y0
+    dx0 = jnp.clip(jnp.floor(fx) - gx, -big, big)
+    dy0 = jnp.clip(jnp.floor(fy) - gy, -big, big)
 
     # NOTE: block sizes are chosen with f32 accounting even for bf16 values —
     # Mosaic's scoped-vmem stack for this kernel runs ~2x the raw buffer
@@ -290,37 +324,44 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
     # chunking stay in range: r top, then up to a multiple of hb
     row_pad_hi = _round_up(h + 2 * r + extra, hb) - h - r
 
-    def pad2(x, fill):
-        return jnp.pad(x, ((r, row_pad_hi), (r, wpad - w - r)), constant_values=fill)
+    def pad3(x, fill):
+        return jnp.pad(
+            x, ((0, 0), (r, row_pad_hi), (r, wpad - w - r)), constant_values=fill
+        )
 
-    dx0p = pad2(dx0, big)
-    dy0p = pad2(dy0, big)
-    # one stacked weight tensor -> one DMA per band
-    wstack = jnp.stack([dx0p, dy0p, pad2(wx1, 0.0), pad2(wy1, 0.0)])
-    bounds = _band_bounds(dx0p, dy0p, h, hb, rows, r)
+    bounds = jax.vmap(
+        lambda a, b: _band_bounds(a, b, h, hb, rows, r)
+    )(pad3(dx0, big), pad3(dy0, big)).reshape(n_s * (h // hb), 4)
+
+    # only the two absolute-position planes travel to the kernel (see the
+    # in-kernel derivation note in _kernel)
+    fstack = jnp.stack([pad3(fx, -1e9), pad3(fy, -1e9)], axis=1)
 
     ppad = -(-p // pblk) * pblk
     vpad = jnp.pad(
         planes.astype(vdt),
-        ((0, ppad - p), (r, row_pad_hi), (r, wpad - w - r)),
+        ((0, 0), (0, ppad - p), (r, row_pad_hi), (r, wpad - w - r)),
     )
 
     n_pb, n_bands = ppad // pblk, h // hb
     kernel = functools.partial(
-        _kernel, n_pb=n_pb, n_bands=n_bands, pblk=pblk, hb=hb, rows=rows,
-        r=r, w_out=w,
+        _kernel, n_s=n_s, n_pb=n_pb, n_bands=n_bands, pblk=pblk, hb=hb,
+        rows=rows, r=r, w_out=w, wpad=wpad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_pb, n_bands),
+        grid=(n_s, n_pb, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((pblk, hb, w), lambda pb, b, bounds: (pb, b, 0)),
+        out_specs=pl.BlockSpec(
+            (1, pblk, hb, w), lambda s, pb, b, bounds: (s, pb, b, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, pblk, rows, wpad), vdt),
-            pltpu.VMEM((2, 4, rows, wpad), jnp.float32),
+            pltpu.VMEM((2, 2, rows, wpad), jnp.float32),
+            pltpu.VMEM((4, rows, wpad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -328,26 +369,30 @@ def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) ->
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ppad, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_s, ppad, h, w), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-    )(bounds, vpad, wstack)
-    return out[:p]
+    )(bounds, vpad, fstack)
+    return out[:, :p]
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def splat_planes_stencil(planes: jax.Array, flow: jax.Array, radius: int = 8) -> jax.Array:
+    """Splat (P, H, W) value planes along ``flow`` (H, W, 2) -> (P, H, W) f32
+    (single-sample adapter over the batched kernel)."""
+    return splat_planes_stencil_batched(planes[None], flow[None], radius=radius)[0]
 
 
 def splat_nhwc_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array:
     """NHWC adapter: splat (N,H,W,C) along (N,H,W,2) via the stencil kernel.
 
-    The batch axis maps over per-sample kernel invocations (each sample has
-    its own flow field; batching is explicit at the model layer — this
-    kernel must NOT be vmapped, it indexes scratch by ``pl.program_id``)."""
-    def one(args):
-        t, f = args
-        return splat_planes_stencil(jnp.moveaxis(t, -1, 0), f, radius=radius)
-
-    if ten.shape[0] == 1:
-        out = one((ten[0], flow[0]))[None]
-    else:
-        out = jax.lax.map(one, (ten, flow))
+    The batch axis maps onto the kernel's native sample grid axis (each
+    sample's flow planes are DMA'd by grid index) — one invocation for the
+    whole batch. Like the other Pallas kernels it must NOT be vmapped
+    (program_id-indexed scratch); batching is explicit here and at the
+    model layer."""
+    out = splat_planes_stencil_batched(
+        jnp.moveaxis(ten, -1, 1), flow, radius=radius
+    )
     # accumulation is f32 — return it so downstream normalization divides at
     # full precision even when values streamed through VMEM as bf16
     return jnp.moveaxis(out, 1, -1)

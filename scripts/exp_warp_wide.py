@@ -19,6 +19,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import functools
 
 import jax
+
+if os.environ.get("FORCE_CPU"):
+    # the axon sitecustomize pins JAX_PLATFORMS=axon; the env var alone
+    # cannot force CPU — the config update can (before backend init)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
