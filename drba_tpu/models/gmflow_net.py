@@ -40,6 +40,7 @@ from drba_tpu.models.layers import (
     relu,
 )
 from drba_tpu.ops import backwarp, unfold3x3
+from drba_tpu.ops.attn_mxu import attention_mxu_supported, window_attention_mxu
 from drba_tpu.ops.resize import resize_bilinear
 
 FEATURE_CHANNELS = 128
@@ -189,18 +190,25 @@ def add_position(feature0, feature1, attn_splits: int):
     return feature0 + pos, feature1 + pos
 
 
-def _shift_window_mask(h: int, w: int, k: int) -> np.ndarray:
-    """Swin shifted-window attention mask (transformer.py:19-43), static."""
+def _shift_region_labels(h: int, w: int, k: int) -> np.ndarray:
+    """Per-token swin shift region labels, window-major (k^2, L) int32
+    (transformer.py:19-43): token i may attend token j iff labels match."""
     win_h, win_w = h // k, w // k
     shift_h, shift_w = win_h // 2, win_w // 2
-    img_mask = np.zeros((h, w), np.float32)
+    img_mask = np.zeros((h, w), np.int32)
     cnt = 0
     for hs in (slice(0, -win_h), slice(-win_h, -shift_h), slice(-shift_h, None)):
         for ws in (slice(0, -win_w), slice(-win_w, -shift_w), slice(-shift_w, None)):
             img_mask[hs, ws] = cnt
             cnt += 1
-    # split into windows (window-major) and compare token labels
-    m = img_mask.reshape(k, win_h, k, win_w).transpose(0, 2, 1, 3).reshape(k * k, win_h * win_w)
+    # split into windows (window-major)
+    return img_mask.reshape(k, win_h, k, win_w).transpose(0, 2, 1, 3).reshape(
+        k * k, win_h * win_w)
+
+
+def _shift_window_mask(h: int, w: int, k: int) -> np.ndarray:
+    """Swin shifted-window attention mask (transformer.py:19-43), static."""
+    m = _shift_region_labels(h, w, k).astype(np.float32)
     diff = m[:, None, :] - m[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)  # (k^2, L, L)
 
@@ -232,16 +240,26 @@ def _window_attention(q, k, v, num_splits: int, h: int, w: int, with_shift: bool
     qs, ks, vs = s[0], s[1], s[2]
     bkk = bkk3 // 3
 
-    scores = jnp.einsum("blc,bmc->blm", qs, ks, preferred_element_type=jnp.float32) * scale
-    if with_shift:
-        mask = jnp.asarray(_shift_window_mask(h, w, num_splits))  # (k^2, L, L)
-        scores = scores + jnp.tile(mask, (b, 1, 1))
-    # keep the softmax output f32 into the value einsum: a bf16 cast between
-    # them blocks XLA's softmax+matmul fusion and materializes the full score
-    # tensor (measured 15x slower on this TPU stack)
-    attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("blm,bmc->blc", attn, vs.astype(jnp.float32),
-                     preferred_element_type=jnp.float32).astype(vs.dtype)
+    if jax.default_backend() == "tpu" and attention_mxu_supported(L, c):
+        # fused Pallas kernel: scores stay chunk-resident in VMEM instead of
+        # round-tripping the (bkk, L, L) tensor through HBM (ops/attn_mxu.py)
+        if with_shift:
+            rid = jnp.tile(
+                jnp.asarray(_shift_region_labels(h, w, num_splits)), (b, 1))
+            out = window_attention_mxu(qs, ks, vs, rid, with_mask=True)
+        else:
+            out = window_attention_mxu(qs, ks, vs)
+    else:
+        scores = jnp.einsum("blc,bmc->blm", qs, ks, preferred_element_type=jnp.float32) * scale
+        if with_shift:
+            mask = jnp.asarray(_shift_window_mask(h, w, num_splits))  # (k^2, L, L)
+            scores = scores + jnp.tile(mask, (b, 1, 1))
+        # keep the softmax output f32 into the value einsum: a bf16 cast
+        # between them blocks XLA's softmax+matmul fusion and materializes the
+        # full score tensor (measured 15x slower on this TPU stack)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("blm,bmc->blc", attn, vs.astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(vs.dtype)
     out = merge_windows(out.reshape(bkk, wh, ww, c), num_splits)
     if with_shift:
         out = jnp.roll(out, (sh, sw), axis=(1, 2))
