@@ -246,3 +246,43 @@ class WindowPlanner:
             )
             for b in range(real):
                 yield [out[b, t] for t in range(counts[b])]
+
+
+def ici_accounting(planner: "WindowPlanner", windows) -> dict:
+    """Compile the sharded window program and count its collective ops.
+
+    Window data-parallelism must be embarrassingly parallel except the
+    reuse-chain handoff: exactly one ``collective-permute`` per chain-carry
+    leaf (the ppermute shift to the right neighbor) and NO all-reduce /
+    all-gather / reduce-scatter / all-to-all — any of those would mean a
+    sharding leak re-materializing replicated state over ICI every group.
+    Asserted by __graft_entry__.dryrun_multichip each round (VERDICT r2).
+    """
+    import re
+
+    group = windows[: planner.batch]
+    carry = planner._carry
+    if carry is None:
+        carry = planner._chain_start_carry(group[0])
+    T = planner.ts_bucket
+    ts = jnp.stack(
+        [
+            jnp.pad(jnp.asarray(g[3], jnp.float32), (0, T - len(g[3])),
+                    constant_values=1.0)
+            for g in group
+        ]
+    )
+    I0 = jnp.stack([g[0] for g in group])
+    I1 = jnp.stack([g[1] for g in group])
+    I2 = jnp.stack([g[2] for g in group])
+    txt = planner.window_fn.lower(I0, I1, I2, ts, carry).compile().as_text()
+    ops = re.findall(
+        r"= \S+ (all-reduce|all-gather|reduce-scatter|all-to-all|"
+        r"collective-permute)(?:-start)?\(",
+        txt,
+    )
+    counts: dict = {}
+    for op in ops:
+        counts[op] = counts.get(op, 0) + 1
+    counts["chain_leaves"] = len(jax.tree_util.tree_leaves(carry))
+    return counts
