@@ -40,10 +40,23 @@ from drba_tpu.models.layers import (
     relu,
 )
 from drba_tpu.ops import backwarp, unfold3x3
-from drba_tpu.ops.attn_mxu import attention_mxu_supported, window_attention_mxu
+from drba_tpu.ops.attn_mxu import (
+    attention_mxu_supported,
+    flash_attention_mxu,
+    window_attention_mxu,
+)
 from drba_tpu.ops.resize import resize_bilinear
 
 FEATURE_CHANNELS = 128
+
+
+def _fused_attention_on() -> bool:
+    """Gate for the fused attention kernels (ops/attn_mxu.py): production
+    TPU only — tests patch this to exercise the kernel wiring in interpret
+    mode on CPU."""
+    return jax.default_backend() == "tpu"
+
+
 NUM_LAYERS = 6
 UPSAMPLE_FACTOR = 4
 ATTN_SPLITS = (2, 8)
@@ -240,15 +253,19 @@ def _window_attention(q, k, v, num_splits: int, h: int, w: int, with_shift: bool
     qs, ks, vs = s[0], s[1], s[2]
     bkk = bkk3 // 3
 
-    if jax.default_backend() == "tpu" and attention_mxu_supported(L, c):
+    if _fused_attention_on() and c % 128 == 0:
         # fused Pallas kernel: scores stay chunk-resident in VMEM instead of
-        # round-tripping the (bkk, L, L) tensor through HBM (ops/attn_mxu.py)
+        # round-tripping the (bkk, L, L) tensor through HBM (ops/attn_mxu.py);
+        # oversized windows (4K at -scale 1) fall through to the key-chunked
+        # online-softmax variant
+        single = attention_mxu_supported(L, c)
+        kern = window_attention_mxu if single else flash_attention_mxu
         if with_shift:
             rid = jnp.tile(
                 jnp.asarray(_shift_region_labels(h, w, num_splits)), (b, 1))
-            out = window_attention_mxu(qs, ks, vs, rid, with_mask=True)
+            out = kern(qs, ks, vs, rid, with_mask=True)
         else:
-            out = window_attention_mxu(qs, ks, vs)
+            out = kern(qs, ks, vs)
     else:
         scores = jnp.einsum("blc,bmc->blm", qs, ks, preferred_element_type=jnp.float32) * scale
         if with_shift:
@@ -351,15 +368,29 @@ def global_correlation_flow(feature0, feature1, bidir: bool = False):
     b, h, w, c = feature0.shape
     f0 = feature0.reshape(b, h * w, c)
     f1 = feature1.reshape(b, h * w, c)
-    corr = jnp.einsum("blc,bmc->blm", f0, f1, preferred_element_type=jnp.float32) / math.sqrt(c)
 
     gx, gy = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
     grid = jnp.asarray(np.stack([gx, gy], axis=-1).reshape(h * w, 2))  # (HW, 2)
 
-    if bidir:
-        corr = jnp.concatenate([corr, jnp.swapaxes(corr, 1, 2)], axis=0)  # (2B,...)
-    prob = jax.nn.softmax(corr, axis=-1)
-    correspondence = jnp.einsum("blm,mk->blk", prob, grid, preferred_element_type=jnp.float32)
+    if _fused_attention_on() and c % 128 == 0:
+        # flash kernel: softmax(f0 f1^T / sqrt(c)) @ grid without ever
+        # materializing the (B, HW, HW) correlation (~0.5 GB f32 at 1080p);
+        # the backward direction swaps the roles of f0/f1 instead of
+        # materializing + transposing + concatenating the correlation
+        gb = jnp.broadcast_to(grid[None], (b, h * w, 2))
+        correspondence = flash_attention_mxu(f0, f1, gb, out_dtype=jnp.float32)
+        if bidir:
+            correspondence = jnp.concatenate(
+                [correspondence,
+                 flash_attention_mxu(f1, f0, gb, out_dtype=jnp.float32)],
+                axis=0,
+            )
+    else:
+        corr = jnp.einsum("blc,bmc->blm", f0, f1, preferred_element_type=jnp.float32) / math.sqrt(c)
+        if bidir:
+            corr = jnp.concatenate([corr, jnp.swapaxes(corr, 1, 2)], axis=0)  # (2B,...)
+        prob = jax.nn.softmax(corr, axis=-1)
+        correspondence = jnp.einsum("blm,mk->blk", prob, grid, preferred_element_type=jnp.float32)
     flow = correspondence - grid[None]
     bb = flow.shape[0]
     return flow.reshape(bb, h, w, 2).astype(feature0.dtype)
@@ -412,14 +443,18 @@ def flow_prop_global(p: Params, feature0, flow):
     b, h, w, c = feature0.shape
     q = linear(p, "feature_flow_attn.q_proj", feature0).reshape(b, h * w, c)
     k = linear(p, "feature_flow_attn.k_proj", q)
-    scores = jnp.einsum(
-        "blc,bmc->blm", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(c)
-    # f32 softmax straight into the einsum — see _window_attention note
-    prob = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("blm,bmc->blc", prob,
-                     flow.reshape(b, h * w, 2).astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
+    fl = flow.reshape(b, h * w, 2).astype(jnp.float32)
+    if _fused_attention_on() and c % 128 == 0:
+        # flash kernel — the (B, HW, HW) score tensor stays chunk-resident
+        out = flash_attention_mxu(q, k, fl, out_dtype=jnp.float32)
+    else:
+        scores = jnp.einsum(
+            "blc,bmc->blm", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(c)
+        # f32 softmax straight into the einsum — see _window_attention note
+        prob = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("blm,bmc->blc", prob, fl,
+                         preferred_element_type=jnp.float32)
     return out.reshape(b, h, w, 2).astype(flow.dtype)
 
 

@@ -28,6 +28,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _LQ = 512  # query-chunk rows per grid step
 
@@ -97,6 +98,114 @@ def window_attention_mxu(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=jax.default_backend() == "cpu",
     )(q, k, v, rid, rid)
     return out[:, :L]
+
+
+_KC = 1024  # key-chunk rows per flash grid step
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, rr_ref, rc_ref, out_ref, acc, m, l,
+                  *, L, nk, scale, with_mask):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m[...] = jnp.full(m.shape, -1e30, jnp.float32)
+        l[...] = jnp.zeros(l.shape, jnp.float32)
+        acc[...] = jnp.zeros(acc.shape, jnp.float32)
+
+    q = q_ref[0]                                  # (LQ, c)
+    kj = k_ref[0]                                 # (KC, c)
+    s = jax.lax.dot_general(
+        q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale                                     # (LQ, KC) f32
+    col = j * _KC + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    dead = col >= L
+    if with_mask:
+        dead = dead | (rr_ref[0][:, None] != rc_ref[0][None, :])
+
+    m_old = m[:, 0:1]
+    m_new = jnp.maximum(m_old, jnp.max(jnp.where(dead, -1e30, s), axis=1,
+                                       keepdims=True))
+    p = jnp.where(dead, 0.0, jnp.exp(s - m_new))  # (LQ, KC)
+    corr = jnp.exp(m_old - m_new)                 # (LQ, 1)
+    l[...] = l[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc[...] = acc[...] * corr + jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m[...] = jnp.broadcast_to(m_new, m.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        out_ref[0] = (acc[...] / l[:, 0:1]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("with_mask", "out_slice", "out_dtype"))
+def flash_attention_mxu(q: jax.Array, k: jax.Array, v: jax.Array,
+                        rid: jax.Array | None = None,
+                        with_mask: bool = False,
+                        out_slice: int = 0,
+                        out_dtype=None) -> jax.Array:
+    """``softmax(q k^T / sqrt(c_q) [+ shift mask]) v`` with ONLINE softmax
+    over key chunks — supports any L (the simple kernel's (Lq, Lpad) score
+    chunk caps L at ~2k). Serves gmflow's global correlation and global
+    flow propagation (L = HW = 8160 at 1080p), where the XLA path
+    materializes the (B, L, L) correlation tensor in HBM (~0.5 GB f32 at
+    1080p; matching.py:7-38, transformer.py:343-374).
+
+    q, k: (B, L, c) with c a lane multiple. v: (B, L, cv) — cv may be small
+    (grid coords / flow are 2 channels); it is lane-padded internally and
+    the first ``out_slice`` (or cv) channels are returned. Scale is always
+    1/sqrt(c_q). Must NOT be vmapped (grid-indexed blocks + scratch).
+    """
+    b, L, c = q.shape
+    cv = v.shape[-1]
+    cvp = -(-cv // 128) * 128
+    lq = -(-L // _LQ) * _LQ
+    lk = -(-L // _KC) * _KC
+    nq, nk = lq // _LQ, lk // _KC
+
+    def padto(x, rows, lanes=None):
+        pw = [(0, 0), (0, rows - x.shape[1])]
+        if x.ndim == 3:
+            pw.append((0, (lanes - x.shape[2]) if lanes else 0))
+        if not any(hi for _, hi in pw):
+            return x
+        return jnp.pad(x, pw)
+
+    qp = padto(q, lq)
+    kp = padto(k, lk)
+    vp = padto(v, lk, cvp)
+    if rid is None:
+        rid_q = jnp.zeros((b, lq), jnp.int32)
+        rid_k = jnp.zeros((b, lk), jnp.int32)
+    else:
+        rid_q = padto(rid.astype(jnp.int32), lq)
+        rid_k = padto(rid.astype(jnp.int32), lk)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, L=L, nk=nk, scale=1.0 / math.sqrt(c),
+                          with_mask=with_mask),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, _LQ, c), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((1, _KC, c), lambda bb, i, j: (bb, j, 0)),
+            pl.BlockSpec((1, _KC, cvp), lambda bb, i, j: (bb, j, 0)),
+            pl.BlockSpec((1, _LQ), lambda bb, i, j: (bb, i)),
+            pl.BlockSpec((1, _KC), lambda bb, i, j: (bb, j)),
+        ],
+        out_specs=pl.BlockSpec((1, _LQ, cvp), lambda bb, i, j: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lq, cvp), out_dtype or q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_LQ, cvp), jnp.float32),
+            pltpu.VMEM((_LQ, 128), jnp.float32),
+            pltpu.VMEM((_LQ, 128), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp, rid_q, rid_k)
+    sl = out_slice or cv
+    return out[:, :L, :sl]
 
 
 def attention_mxu_supported(L: int, c: int) -> bool:

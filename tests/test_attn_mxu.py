@@ -63,3 +63,87 @@ def test_window_attention_gmflow_wiring():
     out = _window_attention(q, k, v, 2, h, w, with_shift=True)
     assert out.shape == (b, h, w, c)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_attention_parity_unmasked():
+    """Online-softmax chunked kernel == einsum reference across k chunks
+    (L spans multiple key chunks and is not a chunk multiple)."""
+    from drba_tpu.ops.attn_mxu import flash_attention_mxu
+
+    rng = np.random.default_rng(3)
+    b, L, c = 2, 1500, 128
+    q, k, v = (jnp.asarray(rng.normal(size=(b, L, c)), jnp.float32)
+               for _ in range(3))
+    out = flash_attention_mxu(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v)), atol=3e-5, rtol=0)
+
+
+def test_flash_attention_small_value_channels():
+    """cv=2 values (grid coords / flow) lane-pad internally — the global
+    correlation / flow-propagation use (matching.py:7-38)."""
+    from drba_tpu.ops.attn_mxu import flash_attention_mxu
+
+    rng = np.random.default_rng(4)
+    b, L, c = 2, 1100, 128
+    q, k = (jnp.asarray(rng.normal(size=(b, L, c)), jnp.float32)
+            for _ in range(2))
+    v = jnp.asarray(rng.normal(size=(b, L, 2)), jnp.float32)
+    out = flash_attention_mxu(q, k, v)
+    assert out.shape == (b, L, 2)
+    ref = _ref(q, k, jnp.pad(v, ((0, 0), (0, 0), (0, 126))))[:, :, :2]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=0)
+
+
+def test_flash_attention_masked_matches_simple_kernel():
+    from drba_tpu.ops.attn_mxu import flash_attention_mxu
+
+    rng = np.random.default_rng(5)
+    b, L, c = 2, 700, 128
+    q, k, v = (jnp.asarray(rng.normal(size=(b, L, c)), jnp.float32)
+               for _ in range(3))
+    rid = jnp.asarray(rng.integers(0, 3, (b, L)), jnp.int32)
+    a = flash_attention_mxu(q, k, v, rid, with_mask=True)
+    b_ = window_attention_mxu(q, k, v, rid, with_mask=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5,
+                               rtol=0)
+
+
+def test_gmflow_fused_paths_match_einsum(monkeypatch):
+    """The three fused-attention call sites in gmflow (window attention,
+    global correlation, global flow propagation) produce the einsum path's
+    numbers when the kernel gate is forced on (interpret mode on CPU)."""
+    import drba_tpu.models.gmflow_net as gm
+
+    rng = np.random.default_rng(6)
+    b, h, w, c = 2, 8, 12, 128
+    f0, f1 = (jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+              for _ in range(2))
+
+    ref_corr = gm.global_correlation_flow(f0, f1, bidir=True)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+               for _ in range(3))
+    ref_attn = gm._window_attention(q, k, v, 2, h, w, with_shift=True)
+
+    flow = jnp.asarray(rng.normal(size=(b, h, w, 2)), jnp.float32)
+    p = {
+        "feature_flow_attn.q_proj.weight": jnp.asarray(
+            rng.normal(size=(c, c)) * 0.05, jnp.float32),
+        "feature_flow_attn.q_proj.bias": jnp.zeros((c,), jnp.float32),
+        "feature_flow_attn.k_proj.weight": jnp.asarray(
+            rng.normal(size=(c, c)) * 0.05, jnp.float32),
+        "feature_flow_attn.k_proj.bias": jnp.zeros((c,), jnp.float32),
+    }
+    ref_prop = gm.flow_prop_global(p, f0, flow)
+
+    monkeypatch.setattr(gm, "_fused_attention_on", lambda: True)
+    out_corr = gm.global_correlation_flow(f0, f1, bidir=True)
+    out_attn = gm._window_attention(q, k, v, 2, h, w, with_shift=True)
+    out_prop = gm.flow_prop_global(p, f0, flow)
+    np.testing.assert_allclose(np.asarray(out_corr), np.asarray(ref_corr),
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(out_attn), np.asarray(ref_attn),
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(out_prop), np.asarray(ref_prop),
+                               atol=1e-4, rtol=0)
