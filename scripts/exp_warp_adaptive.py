@@ -175,6 +175,22 @@ def backwarp_adaptive(img, flow, wh=32, ww=384):
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def warp_downsample2_adaptive(img, flow, wh=32, ww=512):
+    """Adaptive-bounds variant of ops/warp_mxu.warp_downsample2_mxu."""
+    from drba_tpu.ops.resize import resize_bilinear
+
+    _, h, w, _ = img.shape
+    fm = resize_bilinear(flow, (h // 2, w // 2))
+    gx = (jnp.arange(0, w, 2, dtype=jnp.float32) + 0.5)[None, None, :]
+    gy = (jnp.arange(0, h, 2, dtype=jnp.float32) + 0.5)[None, :, None]
+    px = jnp.clip(gx + fm[..., 0].astype(jnp.float32), 0.0, w - 1)
+    py = jnp.clip(gy + fm[..., 1].astype(jnp.float32), 0.0, h - 1)
+    img_chw = jnp.transpose(img, (0, 3, 1, 2))
+    out = _sample_chw_adaptive(img_chw, px, py, wh, ww, spread=0.5)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 def _pan_flow(b, h, w, dx, dy, jitter, seed, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     f = np.broadcast_to(np.asarray([dx, dy], np.float32), (b, h, w, 2)).copy()
@@ -193,13 +209,20 @@ def main():
         dt = jnp.float32
     img = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)), dt)
 
+    from drba_tpu.ops.warp_mxu import warp_downsample2_mxu
+
     for mag, jit_ in ((8.0, 1.5), (40.0, 3.0)):
         flow = _pan_flow(b, h, w, mag, mag * 0.3, jit_, 1, dt)
         ref = np.asarray(backwarp_mxu(img, flow)).astype(np.float32)
         new = np.asarray(backwarp_adaptive(img, flow)).astype(np.float32)
         err = np.abs(ref - new).max()
-        print(f"pan {mag:4.0f}px: max |prod - adaptive| = {err:.2e}", flush=True)
+        refd = np.asarray(warp_downsample2_mxu(img, flow)).astype(np.float32)
+        newd = np.asarray(warp_downsample2_adaptive(img, flow)).astype(np.float32)
+        errd = np.abs(refd - newd).max()
+        print(f"pan {mag:4.0f}px: max |prod - adaptive| = {err:.2e} "
+              f"(warp) {errd:.2e} (warp+ds2)", flush=True)
         assert err <= (5e-3 if dt == jnp.bfloat16 else 1e-5), err
+        assert errd <= (5e-3 if dt == jnp.bfloat16 else 1e-5), errd
 
     if not on_tpu:
         print("CPU parity OK (interpret mode)")
@@ -208,7 +231,10 @@ def main():
     sync = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
     for mag, jit_ in ((8.0, 1.5), (40.0, 3.0)):
         flow = _pan_flow(b, h, w, mag, mag * 0.3, jit_, 1, dt)
-        for name, fn in (("prod", backwarp_mxu), ("adaptive", backwarp_adaptive)):
+        for name, fn in (("prod", backwarp_mxu),
+                         ("adaptive", backwarp_adaptive),
+                         ("prod-ds2", warp_downsample2_mxu),
+                         ("adapt-ds2", warp_downsample2_adaptive)):
             @functools.partial(jax.jit, static_argnames=("n",))
             def loop(x0, n, fn=fn):
                 def body(_, carry):
