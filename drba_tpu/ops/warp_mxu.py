@@ -11,16 +11,22 @@ Per tile:
      offset (mid-range of the tile's integer source coords, delivered via
      scalar prefetch);
   2. the horizontal bilinear sample becomes a matmul with a sparse sampling
-     matrix ``B (WW, 128)`` built on the VPU per output row in closed tent
-     form ``clamp(hw - |x - p|, 0, 1)`` (the bilinear hat for hw=1; the
-     hw=1.5 trapezoid averages the two taps at p +- 0.5 for the fused 2x
-     downsample): ``H = (window as (C*WH, WW)) @ B`` — the MXU does in ~2 us
-     what the gather pipeline serializes per index. The tent form costs 4
-     VPU ops/element vs ~10 for the two-corner one-hot build it replaced —
-     the build is the kernel's channel-independent cost floor (~1 us/tile,
-     dominant for few-channel warps);
+     matrix ``B (128, 128)`` per window col-block, built on the VPU per
+     output row in closed tent form ``clamp(hw - |x - p|, 0, 1)`` (the
+     bilinear hat for hw=1; the hw=1.5 trapezoid averages the two taps at
+     p +- 0.5 for the fused 2x downsample) — the MXU does in ~2 us what the
+     gather pipeline serializes per index. The tent form costs 4 VPU
+     ops/element vs ~10 for the two-corner one-hot build it replaced — the
+     build is the kernel's channel-independent cost floor, dominant for
+     few-channel warps;
   3. the vertical bilinear sample is the same tent as a masked reduction
-     over the WH window rows on the VPU.
+     over the row block's 8 rows on the VPU;
+  4. per-tile MOTION-ADAPTIVE tap-block bounds (scalar-prefetched, computed
+     exactly from the tile's tent supports) loop only the row blocks (of 8)
+     and col blocks (of 128) actually touched: a smooth-flow tile runs 2 of
+     4 row blocks x 2 of 3 col blocks (~3x fewer matmul FLOPs than the full
+     (C*WH, WW) product per output row it replaced); only real in-tile flow
+     divergence pays the whole window.
 
 Semantics match ops.warp.backwarp with ``padding_mode='border'``
 (reference: models/rife_426_heavy/warplayer.py:8-22) EXACTLY for every pixel
@@ -50,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 TH, TW = 8, 128  # output tile
 
 
-def _kernel(ys_ref, xs_ref, qx_ref, qy_ref, img_ref, out_ref,
+def _kernel(ys_ref, xs_ref, bnd_ref, qx_ref, qy_ref, img_ref, out_ref,
             win, sem, *, nty, ntx, wh, ww, c, spread):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -63,7 +69,6 @@ def _kernel(ys_ref, xs_ref, qx_ref, qy_ref, img_ref, out_ref,
     # matmuls.
     def win_dma(slot, tt):
         bb = tt // (nty * ntx)
-        rr = tt % (nty * ntx)
         return pltpu.make_async_copy(
             img_ref.at[
                 bb, :,
@@ -83,24 +88,55 @@ def _kernel(ys_ref, xs_ref, qx_ref, qy_ref, img_ref, out_ref,
         win_dma((t + 1) % 2, t + 1).start()
 
     win_dma(t % 2, t).wait()
-    m = win[t % 2].reshape(c * wh, ww)  # free: wh is a sublane-tile multiple
+    slot = t % 2
+
+    # Motion-adaptive tap-block bounds (prefetched per tile): only the row
+    # blocks (of 8) and col blocks (of 128) that any tent support touches
+    # enter the sampling matmul — a smooth-flow tile runs 2 of 4 row blocks
+    # x 2 of 3 col blocks (~3x fewer MXU FLOPs and 1/3 the tent build) vs
+    # the full (c*wh, ww) @ (ww, TW) product per output row it replaces.
+    rb_lo = bnd_ref[t, 0]
+    rb_hi = bnd_ref[t, 1]
+    cb_lo = bnd_ref[t, 2]
+    cb_hi = bnd_ref[t, 3]
 
     # Mosaic iota is integer-only; arithmetic runs in f32 (no bf16 compares
     # on v5e), so convert once. Tent half-width 1 + spread; weight sum per
     # column is 1 + 2*spread, normalized by s.
-    xx = jax.lax.broadcasted_iota(jnp.int32, (ww, TW), 0).astype(jnp.float32)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (wh, TW), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (128, TW), 0).astype(jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (8, TW), 0).astype(jnp.float32)
     hwidth = 1.0 + spread
     s = 1.0 / (1.0 + 2.0 * spread)
     for y in range(TH):
         qxy = qx_ref[0, y, :][None, :]  # (1, TW) f32: window-relative center
-        bmat = jnp.clip(hwidth - jnp.abs(xx - qxy), 0.0, 1.0) * s
-        h = jnp.dot(m, bmat.astype(m.dtype),
-                    preferred_element_type=jnp.float32)  # (c*wh, TW)
-        h3 = h.reshape(c, wh, TW)
         qyy = qy_ref[0, y, :][None, :]
-        a = jnp.clip(hwidth - jnp.abs(rr - qyy), 0.0, 1.0) * s
-        out_ref[0, :, y, :] = jnp.sum(h3 * a[None], axis=1).astype(out_ref.dtype)
+
+        def col_block(cb, acc):
+            bmat = jnp.clip(
+                hwidth - jnp.abs(xx + (cb * 128).astype(jnp.float32) - qxy),
+                0.0, 1.0,
+            ) * s
+            bmat = bmat.astype(win.dtype)
+
+            def row_block(rb, acc):
+                mb = win[
+                    slot, :,
+                    pl.ds(pl.multiple_of(rb * 8, 8), 8),
+                    pl.ds(pl.multiple_of(cb * 128, 128), 128),
+                ].reshape(c * 8, 128)
+                hb = jnp.dot(mb, bmat, preferred_element_type=jnp.float32)
+                a = jnp.clip(
+                    hwidth - jnp.abs(rr + (rb * 8).astype(jnp.float32) - qyy),
+                    0.0, 1.0,
+                ) * s  # (8, TW)
+                return acc + jnp.sum(hb.reshape(c, 8, TW) * a[None], axis=1)
+
+            return jax.lax.fori_loop(rb_lo, rb_hi + 1, row_block, acc)
+
+        acc = jax.lax.fori_loop(
+            cb_lo, cb_hi + 1, col_block, jnp.zeros((c, TW), jnp.float32)
+        )
+        out_ref[0, :, y, :] = acc.astype(out_ref.dtype)
 
 
 def _prep_positions(px, py, h, w, wh, ww, spread=0.0):
@@ -145,6 +181,29 @@ def _prep_positions(px, py, h, w, wh, ww, spread=0.0):
     return qx, qy, ys.reshape(-1), xs.reshape(-1), covered
 
 
+def _tap_block_bounds(qx, qy, wh, ww, spread):
+    """Per-tile (rb_lo, rb_hi, cb_lo, cb_hi): the row blocks (of 8) / col
+    blocks (of 128) of the window that any output tent support touches —
+    the kernel's motion-adaptive loop bounds. Exact: a tent at center q
+    covers taps p with |p - q| < 1 + spread only."""
+    bsz, ho, wo = qx.shape
+    nty, ntx = ho // TH, wo // TW
+    qxt = qx.reshape(bsz, nty, TH, ntx, TW)
+    qyt = qy.reshape(bsz, nty, TH, ntx, TW)
+    cx_lo = jnp.floor(qxt.min(axis=(2, 4)) - spread).astype(jnp.int32)
+    cx_hi = jnp.floor(qxt.max(axis=(2, 4)) + spread).astype(jnp.int32) + 1
+    ry_lo = jnp.floor(qyt.min(axis=(2, 4)) - spread).astype(jnp.int32)
+    ry_hi = jnp.floor(qyt.max(axis=(2, 4)) + spread).astype(jnp.int32) + 1
+    rb_lo = jnp.clip(ry_lo // 8, 0, wh // 8 - 1)
+    rb_hi = jnp.clip(ry_hi // 8, 0, wh // 8 - 1)
+    cb_lo = jnp.clip(cx_lo // 128, 0, ww // 128 - 1)
+    cb_hi = jnp.clip(cx_hi // 128, 0, ww // 128 - 1)
+    return jnp.stack(
+        [rb_lo.reshape(-1), rb_hi.reshape(-1), cb_lo.reshape(-1),
+         cb_hi.reshape(-1)], axis=-1,
+    )
+
+
 def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
                 wh: int, ww: int, spread: float = 0.0) -> jax.Array:
     """Core: sample img_chw (B,C,H,W) at centers (B,Ho,Wo) -> (B,C,Ho,Wo).
@@ -158,10 +217,11 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
     nty, ntx = ho // TH, wo // TW
 
     qx, qy, ys, xs, _ = _prep_positions(px, py, h, w, wh, ww, spread)
+    bnd = _tap_block_bounds(qx, qy, wh, ww, spread)
 
-    plane = pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs: (b, i, j))
+    plane = pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs, bnd: (b, i, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(bsz, nty, ntx),
         in_specs=[
             plane,
@@ -169,7 +229,7 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, c, TH, TW), lambda b, i, j, ys, xs: (b, 0, i, j)
+            (1, c, TH, TW), lambda b, i, j, ys, xs, bnd: (b, 0, i, j)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, c, wh, ww), img_chw.dtype),
@@ -182,7 +242,7 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, c, ho, wo), img_chw.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(ys, xs, qx, qy, img_chw)
+    )(ys, xs, bnd, qx, qy, img_chw)
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
