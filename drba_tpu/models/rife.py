@@ -48,12 +48,15 @@ def _calc_flow(params, a, b, scale0: float, f0=None, f1=None,
     flow50 = flow[..., 0:2]  # flow from t=0.5 toward a
     flow51 = flow[..., 2:4]  # flow from t=0.5 toward b
 
-    w05, mask05 = softsplat(flow50, flow50, None, "avg",
-                            backend=splat_backend, return_coverage=True)
-    w15, mask15 = softsplat(flow51, flow51, None, "avg",
-                            backend=splat_backend, return_coverage=True)
-    flow05 = -w05
-    flow15 = -w15
+    # both inversion splats ride the stencil kernel's native sample axis in
+    # ONE invocation (ops/splat_stencil.py v4)
+    n = flow50.shape[0]
+    both = jnp.concatenate([flow50, flow51], axis=0)
+    w, mask = softsplat(both, both, None, "avg", backend=splat_backend,
+                        return_coverage=True)
+    mask05, mask15 = mask[:n], mask[n:]
+    flow05 = -w[:n]
+    flow15 = -w[n:]
 
     h, w = a.shape[1], a.shape[2]
     sentinel = jnp.asarray(float(max(h, w)), flow05.dtype)
