@@ -149,6 +149,23 @@ def _splat_avg_scaled(val, flow, metric, mode, backend, splat_scale):
     return resize_bilinear(wv, (h, w)), resize_bilinear(cov, (h, w))
 
 
+def _splat_avg_scaled2(val_a, flow_a, metric_a, val_b, flow_b, metric_b,
+                       mode, backend, splat_scale):
+    """Both direction splats of a DRM alignment as ONE softsplat call —
+    the directions stack on the batch axis, which the stencil kernel's
+    native sample grid axis consumes in a single invocation (splat v4)."""
+    n = val_a.shape[0]
+    metric = None
+    if metric_a is not None and metric_b is not None:
+        metric = jnp.concatenate([metric_a, metric_b], axis=0)
+    wv, cov = _splat_avg_scaled(
+        jnp.concatenate([val_a, val_b], axis=0),
+        jnp.concatenate([flow_a, flow_b], axis=0),
+        metric, mode, backend, splat_scale,
+    )
+    return (wv[:n], cov[:n]), (wv[n:], cov[n:])
+
+
 class DrmRife(NamedTuple):
     drm_t1_t01: jax.Array
     drm_t1_t12: jax.Array
@@ -178,10 +195,10 @@ def calc_drm_rife(t, flow10: jax.Array, flow12: jax.Array, linear: bool = False,
         drm_t0 = _retime(drm10, t, linear)
         drm_t1 = _retime(drm12, t, linear)
 
-    w01, m01 = _splat_avg_scaled(drm_t1, flow10 * drm_t1, None, "avg",
-                                 backend, splat_scale)
-    w12, m12 = _splat_avg_scaled(drm_t0, flow12 * drm_t0, None, "avg",
-                                 backend, splat_scale)
+    (w01, m01), (w12, m12) = _splat_avg_scaled2(
+        drm_t1, flow10 * drm_t1, None, drm_t0, flow12 * drm_t0, None,
+        "avg", backend, splat_scale,
+    )
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),
@@ -228,10 +245,10 @@ def calc_drm_gmfss(
     drm2t_u = 1.0 - drm1t_t12
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    w0, m0 = _splat_avg_scaled(drm0t_u, flow10, metric10, mode, backend,
-                               splat_scale)
-    w2, m2 = _splat_avg_scaled(drm2t_u, flow12, metric12, mode, backend,
-                               splat_scale)
+    (w0, m0), (w2, m2) = _splat_avg_scaled2(
+        drm0t_u, flow10, metric10, drm2t_u, flow12, metric12,
+        mode, backend, splat_scale,
+    )
 
     return DrmGmfss(
         drm0t_t01=_hole_fill(w0, m0, drm0t_u),
@@ -270,10 +287,10 @@ def calc_drm_rife_auxiliary(
         drm_t1 = _retime(drm12, t, linear)
 
     mode = "soft" if (metric10 is not None and metric12 is not None) else "avg"
-    w01, m01 = _splat_avg_scaled(drm_t1, flow10 * drm_t1, metric10, mode,
-                                 backend, splat_scale)
-    w12, m12 = _splat_avg_scaled(drm_t0, flow12 * drm_t0, metric12, mode,
-                                 backend, splat_scale)
+    (w01, m01), (w12, m12) = _splat_avg_scaled2(
+        drm_t1, flow10 * drm_t1, metric10, drm_t0, flow12 * drm_t0, metric12,
+        mode, backend, splat_scale,
+    )
 
     return DrmRife(
         drm_t1_t01=_hole_fill(w01, m01, drm_t1),
