@@ -224,7 +224,12 @@ class WindowPlanner:
             if self._carry is None:
                 self._carry = self._chain_start_carry(group[0])
             counts = [len(g[3]) for g in group]
-            T = self.ts_bucket
+            # pad ts to the GROUP's max count, not the global bucket: fps
+            # mode alternates two counts (floor/ceil of the ratio), so this
+            # compiles at most two shapes and avoids computing padded t=1.0
+            # frames that are dropped on yield (VERDICT r2 weak 7). The
+            # global bucket stays the upper bound.
+            T = min(self.ts_bucket, max(counts))
             ts = jnp.stack(
                 [
                     jnp.pad(jnp.asarray(g[3], jnp.float32), (0, T - len(g[3])), constant_values=1.0)
