@@ -30,7 +30,7 @@ from drba_tpu.models.gmfss_nets import (
     METRICNET_SPEC,
 )
 from drba_tpu.models.gmfss import _select_reuse
-from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply
+from drba_tpu.models.ifnet import IFNET_SPEC, fold_lastconvs, ifnet_apply
 from drba_tpu.ops.resize import resize_bilinear, scale_by
 
 
@@ -141,7 +141,9 @@ class GMFSS_UNION:
             feat_ext=load_network(weights, "feat.pkl", FEATURENET_SPEC, seed=config.seed + 2),
             fusionnet=load_network(weights, "fusionnet.pkl", GRIDNET_UNION_SPEC, seed=config.seed + 3),
         )
-        self.rife_params = load_network(weights, "rife.pkl", IFNET_SPEC, seed=config.seed + 4)
+        self.rife_params = fold_lastconvs(
+            load_network(weights, "rife.pkl", IFNET_SPEC, seed=config.seed + 4)
+        )
         self.scale = scale
         self.scale_list = tuple(s / scale for s in (16.0, 8.0, 4.0, 2.0, 1.0))
         self.pad_size = 128

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from drba_tpu.models.layers import Params, conv2d, conv_transpose2d, leaky_relu
 from drba_tpu.ops import backwarp, pixel_shuffle
+from drba_tpu.ops.shuffle import fold_convT4s2_shuffle
 from drba_tpu.ops.warp import _sample_pixels
 from drba_tpu.ops.warp_mxu import (
     backwarp_mxu, sample_positions_mxu, warp_downsample2_mxu,
@@ -61,6 +62,20 @@ def build_spec() -> dict:
 
 
 IFNET_SPEC = build_spec()
+
+
+def fold_lastconvs(p: Params) -> Params:
+    """Precompute each block's folded lastconv weights (see ifnet_block) so
+    the weight rearrangement runs once at load time, not in-graph."""
+    out = dict(p)
+    for i in range(5):
+        b = f"block{i}"
+        w4, b4 = fold_convT4s2_shuffle(
+            p[f"{b}.lastconv.0.weight"], p[f"{b}.lastconv.0.bias"], r2=2
+        )
+        out[f"{b}.lastconv.fold4.weight"] = w4
+        out[f"{b}.lastconv.fold4.bias"] = b4
+    return out
 
 
 def ifnet_encode(p: Params, img: jax.Array) -> jax.Array:
@@ -249,8 +264,25 @@ def ifnet_block(
     feat = leaky_relu(conv2d(p, f"{b}.conv0.0.0", x, stride=2, padding=1))
     feat = leaky_relu(conv2d(p, f"{b}.conv0.1.0", feat, stride=2, padding=1))
     feat = _resconv_chain(p, b, feat, conv_backend)
-    tmp = conv_transpose2d(p, f"{b}.lastconv.0", feat, stride=2, padding=1)
-    tmp = pixel_shuffle(tmp, 2)
+    # lastconv (ConvTranspose 4x4/s2 + PixelShuffle 2, IFNet_HDv3.py:79-82)
+    # folded to one stride-1 conv AT FEATURE RESOLUTION + one shuffle(4):
+    # skips the dilated-conv lowering and one full-tile relayout pass
+    # (exact weight rearrangement, ops/shuffle.py:fold_convT4s2_shuffle).
+    # Model wrappers precompute the folded weights at load time
+    # (fold_lastconvs); the inline fold keeps raw param dicts working.
+    if f"{b}.lastconv.fold4.weight" in p:
+        w4 = p[f"{b}.lastconv.fold4.weight"]
+        b4 = p[f"{b}.lastconv.fold4.bias"]
+    else:
+        w4, b4 = fold_convT4s2_shuffle(
+            p[f"{b}.lastconv.0.weight"], p[f"{b}.lastconv.0.bias"], r2=2
+        )
+    tmp = jax.lax.conv_general_dilated(
+        feat, w4.astype(feat.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(feat.dtype) + b4.astype(feat.dtype)
+    tmp = pixel_shuffle(tmp, 4)
     tmp = resize_bilinear(tmp, (h, w))
     out_flow = tmp[..., :4] * scale
     mask = tmp[..., 4:5]

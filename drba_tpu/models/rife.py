@@ -31,7 +31,9 @@ import jax.numpy as jnp
 from drba_tpu.config import Config, DEFAULT
 from drba_tpu.convert import load_network
 from drba_tpu.drm import calc_drm_rife
-from drba_tpu.models.ifnet import IFNET_SPEC, ifnet_apply, ifnet_block, ifnet_encode
+from drba_tpu.models.ifnet import (
+    IFNET_SPEC, fold_lastconvs, ifnet_apply, ifnet_block, ifnet_encode,
+)
 from drba_tpu.ops import softsplat
 
 
@@ -211,7 +213,9 @@ class RIFE:
 
     def __init__(self, weights: str | None = None, scale: float = 1.0,
                  config: Config = DEFAULT):
-        self.params = load_network(weights, "flownet.pkl", IFNET_SPEC, seed=config.seed)
+        self.params = fold_lastconvs(
+            load_network(weights, "flownet.pkl", IFNET_SPEC, seed=config.seed)
+        )
         self.scale = scale
         self.scale_list = tuple(s / scale for s in (16.0, 8.0, 4.0, 2.0, 1.0))
         self.pad_size = 64

@@ -106,3 +106,66 @@ def unfold3x3(x: jax.Array) -> jax.Array:
         xp[:, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)
     ]
     return jnp.stack(patches, axis=-1)  # (N,H,W,C,9)
+
+
+def fold_convT4s2_shuffle(w: jax.Array, b: jax.Array | None, r2: int = 2):
+    """Re-express ``pixel_shuffle(conv_transpose2d(x, w, b, stride=2,
+    padding=1), r2)`` as ``pixel_shuffle(conv2d(x, w4, pad=1) + b4, 2*r2)``.
+
+    The k=4/s=2/p=1 transposed conv splits into 4 output phases, each a
+    2x2-tap stride-1 conv of the input (phase (a, b) of out row 2i+a reads
+    input rows {i-1, i} for a=0 and {i, i+1} for a=1 with kernel rows
+    {3, 1} / {2, 0} respectively — embedded in a 3x3 canvas so all phases
+    share pad=1). The following pixel_shuffle composes with the phase
+    shuffle into one shuffle(2*r2) after an output-channel permutation,
+    which is folded into ``w4``. Exact up to fp reassociation.
+
+    Why: the dilated-conv lowering of convT plus TWO full-res shuffle
+    relayout passes run at IFNet's lastconv geometry per block per window
+    (IFNet_HDv3.py:79-82); this form does one conv at FEATURE resolution
+    and one shuffle.
+
+    w: (4, 4, cin, cout) HWIO as stored (converter layout, unflipped).
+    Returns (w4 (3, 3, cin, 4*cout), b4) with channels ordered for
+    ``pixel_shuffle(., 2*r2)`` where cout = c_final * r2 * r2.
+    """
+    k, _, cin, cout = w.shape
+    assert k == 4, k
+    c_final = cout // (r2 * r2)
+    w4 = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    # tap map measured against conv_transpose2d directly (impulse probe):
+    # out[2i+a] reads x[i-1+r] with stored index ky per (a -> ((r, ky), ...))
+    rows = {0: ((1, 1), (0, 3)), 1: ((2, 0), (1, 2))}
+    for a in range(2):
+        for bb in range(2):
+            blk = jnp.zeros((3, 3, cin, cout), w.dtype)
+            for (ry, ky) in rows[a]:
+                for (rx, kx) in rows[bb]:
+                    blk = blk.at[ry, rx].set(w[ky, kx])
+            # channel interleave: convT out channel c = cf*r2*r2 + i1*r2 + j1
+            # feeds final offset (2*(a?)...): out row = 2*(2i + a) + i1 ->
+            # shuffle(2*r2) channel cf*(2*r2)^2 + (a*r2 + i1)*(2*r2) + ...
+            for i1 in range(r2):
+                for j1 in range(r2):
+                    src = jnp.arange(c_final) * (r2 * r2) + i1 * r2 + j1
+                    dst = (
+                        jnp.arange(c_final) * (4 * r2 * r2)
+                        + (a * r2 + i1) * (2 * r2)
+                        + (bb * r2 + j1)
+                    )
+                    w4 = w4.at[:, :, :, dst].set(blk[:, :, :, src])
+    b4 = None
+    if b is not None:
+        b4 = jnp.zeros((4 * cout,), b.dtype)
+        for a in range(2):
+            for bb in range(2):
+                for i1 in range(r2):
+                    for j1 in range(r2):
+                        src = jnp.arange(c_final) * (r2 * r2) + i1 * r2 + j1
+                        dst = (
+                            jnp.arange(c_final) * (4 * r2 * r2)
+                            + (a * r2 + i1) * (2 * r2)
+                            + (bb * r2 + j1)
+                        )
+                        b4 = b4.at[dst].set(b[src])
+    return w4, b4
