@@ -43,7 +43,9 @@ from drba_tpu.ops import backwarp, unfold3x3
 from drba_tpu.ops.attn_mxu import (
     attention_mxu_supported,
     flash_attention_mxu,
+    nhwc_attention_supported,
     window_attention_mxu,
+    window_attention_nhwc,
 )
 from drba_tpu.ops.resize import resize_bilinear
 
@@ -245,6 +247,22 @@ def _window_attention(q, k, v, num_splits: int, h: int, w: int, with_shift: bool
     if with_shift:
         sh, sw = (h // num_splits) // 2, (w // num_splits) // 2
         qkv = jnp.roll(qkv, (-sh, -sw), axis=(1, 2))
+
+    if (_fused_attention_on()
+            and nhwc_attention_supported(h, w, num_splits, c)):
+        # NHWC-direct kernel: each window's block is read straight from the
+        # unsplit map via index maps — no split/merge window transposes at
+        # all (ops/attn_mxu.py:window_attention_nhwc)
+        lab = None
+        if with_shift:
+            wh_, ww_ = h // num_splits, w // num_splits
+            lab = _shift_region_labels(h, w, num_splits).reshape(
+                num_splits * num_splits, wh_, ww_)
+        out = window_attention_nhwc(qkv[:b], qkv[b:2 * b], qkv[2 * b:],
+                                    num_splits, lab, with_mask=with_shift)
+        if with_shift:
+            out = jnp.roll(out, (sh, sw), axis=(1, 2))
+        return out
 
     s = split_windows(qkv, num_splits)
     bkk3, wh, ww, _ = s.shape

@@ -27,6 +27,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -219,3 +220,123 @@ def attention_mxu_supported(L: int, c: int) -> bool:
         + 2 * _LQ * c * 4           # q block + out, f32 upper bound
     )
     return c % 128 == 0 and raw <= 10 * 1024 * 1024
+
+
+def _nhwc_chunk_plan(wh: int, wwp: int, c: int):
+    """Pick q-rows-per-chunk for the NHWC window kernel: the largest divisor
+    of ``wh`` whose f32 score chunk fits the VMEM budget, with multi-chunk
+    plans lane-aligned for the label slice. None if no plan fits."""
+    lp = wh * wwp
+    for rpc in sorted((d for d in range(1, wh + 1) if wh % d == 0),
+                      reverse=True):
+        scores = rpc * wwp * lp * 4 * 2     # scores + exp temporaries
+        kv = 2 * lp * c * 2                 # k/v window blocks (bf16)
+        if scores + kv > 6 * 1024 * 1024:
+            continue
+        nq = wh // rpc
+        if nq > 1 and (rpc * wwp) % 128 != 0:
+            continue
+        return rpc
+    return None
+
+
+def nhwc_attention_supported(h: int, w: int, k_splits: int, c: int) -> bool:
+    wh, ww = h // k_splits, w // k_splits
+    wwp = -(-ww // 8) * 8
+    return c % 128 == 0 and _nhwc_chunk_plan(wh, wwp, c) is not None
+
+
+def _nhwc_kernel(q_ref, k_ref, v_ref, lab_ref, out_ref, *, rpc, wwp, lp, c,
+                 nq, scale, with_mask):
+    qc = pl.program_id(3)
+    q2 = q_ref[0].reshape(rpc * wwp, c)
+    k2 = k_ref[0].reshape(lp, c)
+    s = jax.lax.dot_general(
+        q2, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale                                     # (rpc*wwp, Lp) f32
+    lr = lab_ref[0, 0]                            # (Lp,) int32
+    if nq > 1:
+        lq = lab_ref[0, 0, pl.ds(pl.multiple_of(qc * (rpc * wwp), 128),
+                                 rpc * wwp)]
+    else:
+        lq = lr
+    dead = lr[None, :] == -1
+    if with_mask:
+        dead = dead | (lq[:, None] != lr[None, :])
+    s = jnp.where(dead, -1e9, s)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v_ref[0].reshape(lp, c).astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = out.reshape(rpc, wwp, c).astype(out_ref.dtype)
+
+
+def window_attention_nhwc(q: jax.Array, k: jax.Array, v: jax.Array,
+                          k_splits: int,
+                          labels: "np.ndarray | None" = None,
+                          with_mask: bool = False) -> jax.Array:
+    """Swin window attention straight off the (B, H, W, C) layout.
+
+    Each (window, q-chunk) grid step reads its (rows, ww, C) block from the
+    UNSPLIT feature map via BlockSpec index maps — no split_windows /
+    merge_windows 6-D transposes around the attention (each carries the
+    ~1 ms per-op floor on this stack; gmflow pays them twice per layer,
+    models/gmflow/utils.py:5-36). Window columns pad per-window to a
+    sublane multiple (one minor-dim pad copy) and are masked out.
+
+    ``labels``: STATIC numpy (k^2, wh, ww) int32 swin region ids for
+    shifted layers (with_mask=True); ids must be >= 0 (-1 is reserved for
+    padding). Callers roll the map before / after; call under jit (no own
+    jit wrapper — the label mask is built at trace time). Must NOT be
+    vmapped.
+    """
+    b, h, w, c = q.shape
+    kk = k_splits
+    wh, ww = h // kk, w // kk
+    wwp = -(-ww // 8) * 8
+    rpc = _nhwc_chunk_plan(wh, wwp, c)
+    lp = wh * wwp
+    nq = wh // rpc
+
+    def pad_cols(x):
+        if wwp == ww:
+            return x
+        x = x.reshape(b, h, kk, ww, c)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wwp - ww), (0, 0)))
+        return x.reshape(b, h, kk * wwp, c)
+
+    qp, kp, vp = pad_cols(q), pad_cols(k), pad_cols(v)
+
+    if labels is None:
+        lab = np.zeros((kk * kk, wh, ww), np.int32)
+    else:
+        lab = np.asarray(labels, np.int32).reshape(kk * kk, wh, ww)
+    labp = np.full((kk * kk, 1, lp), -1, np.int32)
+    labp.reshape(kk * kk, 1, wh, wwp)[:, 0, :, :ww] = lab
+    labp = jnp.asarray(labp)
+
+    out = pl.pallas_call(
+        functools.partial(_nhwc_kernel, rpc=rpc, wwp=wwp, lp=lp, c=c, nq=nq,
+                          scale=1.0 / math.sqrt(c), with_mask=with_mask),
+        grid=(b, kk, kk, nq),
+        in_specs=[
+            pl.BlockSpec((1, rpc, wwp, c),
+                         lambda bb, wy, wx, qc, _wh=wh // rpc:
+                         (bb, wy * _wh + qc, wx, 0)),
+            pl.BlockSpec((1, wh, wwp, c), lambda bb, wy, wx, qc: (bb, wy, wx, 0)),
+            pl.BlockSpec((1, wh, wwp, c), lambda bb, wy, wx, qc: (bb, wy, wx, 0)),
+            pl.BlockSpec((1, 1, lp), lambda bb, wy, wx, qc: (wy * kk + wx, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rpc, wwp, c),
+                               lambda bb, wy, wx, qc, _wh=wh // rpc:
+                               (bb, wy * _wh + qc, wx, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, kk * wwp, c), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(qp, kp, vp, labp)
+
+    if wwp != ww:
+        out = out.reshape(b, h, kk, wwp, c)[:, :, :, :ww, :].reshape(b, h, w, c)
+    return out

@@ -147,3 +147,43 @@ def test_gmflow_fused_paths_match_einsum(monkeypatch):
                                atol=1e-4, rtol=0)
     np.testing.assert_allclose(np.asarray(out_prop), np.asarray(ref_prop),
                                atol=1e-4, rtol=0)
+
+
+def test_nhwc_window_attention_parity(monkeypatch):
+    """NHWC-direct window kernel == the split/einsum path, shifted and
+    plain, at a geometry whose window cols need sublane padding (ww=12)."""
+    import drba_tpu.models.gmflow_net as gm
+    from drba_tpu.ops.attn_mxu import nhwc_attention_supported
+
+    rng = np.random.default_rng(7)
+    b, h, w, c = 2, 12, 24, 128   # splits=2 -> windows (6, 12), L=72
+    assert nhwc_attention_supported(h, w, 2, c)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+               for _ in range(3))
+
+    for shift in (False, True):
+        ref = gm._window_attention(q, k, v, 2, h, w, with_shift=shift)
+        monkeypatch.setattr(gm, "_fused_attention_on", lambda: True)
+        out = gm._window_attention(q, k, v, 2, h, w, with_shift=shift)
+        monkeypatch.setattr(gm, "_fused_attention_on", lambda: False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=0,
+                                   err_msg=f"shift={shift}")
+
+
+def test_nhwc_window_attention_multichunk():
+    """Multi-chunk q plan (nq > 1) matches the single-chunk einsum."""
+    from drba_tpu.ops import attn_mxu as am
+
+    rng = np.random.default_rng(8)
+    b, h, w, c = 1, 32, 64, 128  # splits=1: window (32, 64), Lp=2048
+    assert am.nhwc_attention_supported(h, w, 1, c)
+    wh, wwp = 32, 64
+    assert am._nhwc_chunk_plan(wh, wwp, c) < wh  # forces nq > 1
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+               for _ in range(3))
+    out = am.window_attention_nhwc(q, k, v, 1)
+    ref = _ref(q.reshape(b, h * w, c), k.reshape(b, h * w, c),
+               v.reshape(b, h * w, c)).reshape(b, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=0)
