@@ -77,7 +77,8 @@ def _drba_window_fused(p: GmfssParams, I0, I1, I2, ts, reuse10: Reuse,
     """One dispatch per window: reuse(I1, I2) + the full timestep batch in a
     single XLA program. Returns (frames, reuse12)."""
     reuse12 = gmfss_reuse(p, I1, I2, scale=scale, union=False,
-                          warp_backend=warp_backend, feat0=reuse10.feat0)
+                          warp_backend=warp_backend,
+                          conv_backend=conv_backend, feat0=reuse10.feat0)
     out = _drba_window(p, I0, I1, I2, ts, reuse10, reuse12, linear, backend,
                        drm_splat_scale, conv_backend)
     return out, reuse12
@@ -116,7 +117,8 @@ class GMFSS:
         self.config = config
         self._reuse_jit = jax.jit(
             functools.partial(gmfss_reuse, scale=self.scale, union=False,
-                              warp_backend=config.warp_backend)
+                              warp_backend=config.warp_backend,
+                              conv_backend=config.conv_backend)
         )
 
     def reuse(self, img0, img1, feat0=None) -> Reuse:

@@ -50,7 +50,8 @@ class Reuse(NamedTuple):
 
 
 def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False,
-                warp_backend: str = "auto", feat0=None) -> Reuse:
+                warp_backend: str = "auto", conv_backend: str = "auto",
+                feat0=None) -> Reuse:
     """Precompute flow, metrics and feature pyramids (GMFSS.py:58-81).
 
     ``feat0`` may pass img0's feature pyramid from the previous window's
@@ -80,7 +81,7 @@ def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False,
 
     metric0, metric1 = metricnet_apply(
         p.metricnet, img0h, img1h, flow01, flow10, union=union,
-        warp_backend=warp_backend,
+        warp_backend=warp_backend, conv_backend=conv_backend,
     )
     return Reuse(flow01, flow10, metric0, metric1, feat0, feat1)
 

@@ -110,7 +110,7 @@ def _warp2_zeros(a, b, fa, fb, use_mxu: bool):
 
 
 def metricnet_apply(p: Params, img0, img1, flow01, flow10, union: bool = False,
-                    warp_backend: str = "auto"):
+                    warp_backend: str = "auto", conv_backend: str = "auto"):
     """MetricNet.forward (model_gmfss/MetricNet.py:44-65).
 
     The reference's four separate backward warps (two image occlusion
@@ -147,10 +147,34 @@ def metricnet_apply(p: Params, img0, img1, flow01, flow10, union: bool = False,
         [img0, img1, -m0, -m1, norm_flow(flow01), norm_flow(flow10), fwd_occ, bwd_occ],
         axis=-1,
     )
-    feat = conv2d(p, "metric_in", x, padding=1)
-    for i in (1, 2, 3):
-        feat = conv2d(p, f"metric_net{i}.1", prelu(p, f"metric_net{i}.0", feat), padding=1) + feat
-    out = conv2d(p, "metric_out.1", prelu(p, "metric_out.0", feat), padding=1)
+    if _use_conv_chain(conv_backend, x.shape[1], x.shape[2]):
+        # all five 64ch convs (the same large-spatial geometry XLA lowers at
+        # ~12 TF/s — docs/ROADMAP.md) run as ONE fused chain invocation; the
+        # 14ch input and 2ch output pad to the 64-lane levels (zero taps)
+        from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 64 - x.shape[-1])))
+        w_in = jnp.pad(p["metric_in.weight"],
+                       ((0, 0), (0, 0), (0, 64 - 14), (0, 0)))
+        w_out = jnp.pad(p["metric_out.1.weight"],
+                        ((0, 0), (0, 0), (0, 0), (0, 64 - 2)))
+        b_out = jnp.pad(p["metric_out.1.bias"], (0, 64 - 2))
+        steps = [ChainStep(w=w_in, b=p["metric_in.bias"])]
+        steps += [
+            ChainStep(w=p[f"metric_net{i}.1.weight"],
+                      b=p[f"metric_net{i}.1.bias"],
+                      pre_alpha=p[f"metric_net{i}.0.weight"],
+                      plain_res=True)
+            for i in (1, 2, 3)
+        ]
+        steps.append(ChainStep(w=w_out, b=b_out,
+                               pre_alpha=p["metric_out.0.weight"]))
+        out = conv_chain(xp, steps)[..., :2]
+    else:
+        feat = conv2d(p, "metric_in", x, padding=1)
+        for i in (1, 2, 3):
+            feat = conv2d(p, f"metric_net{i}.1", prelu(p, f"metric_net{i}.0", feat), padding=1) + feat
+        out = conv2d(p, "metric_out.1", prelu(p, "metric_out.0", feat), padding=1)
     if union:
         out = jnp.tanh(out.astype(jnp.float32)).astype(out.dtype) * 10
     return out[..., 0:1], out[..., 1:2]

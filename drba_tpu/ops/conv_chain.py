@@ -67,6 +67,8 @@ class ChainStep(NamedTuple):
     b: jax.Array                 # (Cout,)
     pre_alpha: jax.Array | None = None
     beta: jax.Array | None = None
+    plain_res: bool = False      # y = conv(pre(x)) + x (un-activated x);
+                                 # pre applies on the fly in the tap reads
 
 
 class _Meta(NamedTuple):
@@ -123,7 +125,7 @@ def _kernel(meta: _Meta, *refs):
     zrows = refs[next(it)]
     res_ref = refs[next(it)] if meta.res_mode == 2 else None
     step_refs = []
-    for (_, _, has_pre, has_beta) in steps:
+    for (_, _, has_pre, has_beta, _pr) in steps:
         wk = refs[next(it)]
         bias = refs[next(it)]
         alpha = refs[next(it)] if has_pre else None
@@ -231,14 +233,13 @@ def _kernel(meta: _Meta, *refs):
                          v * a[None, :, :].astype(v.dtype))
 
     src = wslot  # level-0 buffer
-    for k, ((Lin, Lout, has_pre, has_beta), (wk, bias, alpha, beta)) in enumerate(
-        zip(steps, step_refs)
-    ):
+    for k, ((Lin, Lout, has_pre, has_beta, has_plainres),
+            (wk, bias, alpha, beta)) in enumerate(zip(steps, step_refs)):
         r0 = k                      # valid row extent of level k
         out_rows = hb + 2 * (n - k - 1)
         last = k == n_steps - 1
 
-        if has_pre:
+        if has_pre and not has_plainres:
             # activate only the rows this conv reads (the buffers are
             # allocated at full window height; deeper levels use less)
             rows_k = hb + 2 * (n - k)
@@ -253,6 +254,11 @@ def _kernel(meta: _Meta, *refs):
             for gx in range(3):
                 a = src[pl.ds(r0 + dy, out_rows),
                         pl.ds(_CB - 1 + gx, P), slice(0, Lin)]
+                if has_pre and has_plainres:
+                    # the plain-res epilogue needs the UN-activated input,
+                    # so pre-activation applies per tap read (prelu(0) == 0
+                    # keeps the zero-padding semantics intact)
+                    a = prelu(a, alpha, Lin)
                 acc = acc + jnp.dot(
                     a.reshape(out_rows * P, Lin), wk[dy * 3 + gx],
                     preferred_element_type=jnp.float32,
@@ -265,6 +271,9 @@ def _kernel(meta: _Meta, *refs):
                        slice(0, Lin)]
             bv = y * beta[0:1, :][None, :, :].astype(y.dtype) + prev
             y = jnp.where(bv.astype(jnp.float32) >= 0, bv, bv * 0.2)
+        elif has_plainres:
+            y = y + src[pl.ds(r0 + 1, out_rows), pl.ds(_CB, P),
+                        slice(0, Lin)]
 
         if not last:
             dst = bufs[k % len(bufs)]
@@ -376,6 +385,8 @@ def conv_chain(
     for s, cin in zip(steps, chs[:-1]):
         assert s.w.shape[:3] == (3, 3, cin), (s.w.shape, cin)
         assert s.pre_alpha is None or s.beta is None
+        assert not (s.plain_res and s.beta is not None)
+        assert not s.plain_res or s.w.shape[2] == s.w.shape[3]
     assert all((f * c) % 128 == 0 for c in chs), (f, chs)
     assert W % f == 0 and (W // f) % 8 == 0, (W, f)
     P = W // f
@@ -403,7 +414,8 @@ def conv_chain(
     zrows = jnp.zeros((n, P, f * chs[0]), dtype)
 
     meta = _Meta(
-        steps=tuple((f * ci, f * co, s.pre_alpha is not None, s.beta is not None)
+        steps=tuple((f * ci, f * co, s.pre_alpha is not None,
+                     s.beta is not None, s.plain_res)
                     for s, ci, co in zip(steps, chs[:-1], chs[1:])),
         f=f, n=n, hb=hb, H=H, P=P, PW=PW, res_mode=res_mode, nb=nb,
         dtype=dtype,

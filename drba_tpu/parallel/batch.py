@@ -107,7 +107,8 @@ def make_window_fn(model, mesh):
         def per_shard(I0, I1, I2, ts, carry: Reuse):
             i0, i1, i2, tvec = I0[0], I1[0], I2[0], ts[0]
             reuse12 = gmfss_reuse(params, i1, i2, scale=scale, union=union,
-                                  warp_backend=wb)
+                                  warp_backend=wb,
+                                  conv_backend=model.config.conv_backend)
             if ndev > 1:
                 prev12 = jax.tree_util.tree_map(
                     lambda x: _shift_right(x, perm), reuse12

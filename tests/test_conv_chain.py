@@ -187,3 +187,51 @@ def test_bf16_numerics_close():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=0.1, atol=0.1,
     )
+
+
+def test_chain_plain_res_steps():
+    """Per-step ``y = conv(prelu(x)) + x`` epilogue (MetricNet's residual
+    blocks, model_gmfss/MetricNet.py:44-65) == the XLA composition."""
+    import jax.numpy as jnp
+    from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+
+    rng = np.random.default_rng(11)
+    N, H, W, C = 2, 24, 64, 64
+    x = jnp.asarray(rng.normal(size=(N, H, W, C)), jnp.float32)
+
+    steps = []
+    ref = x
+    for i in range(3):
+        w = jnp.asarray(rng.normal(size=(3, 3, C, C)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+        a = jnp.asarray(rng.uniform(0.1, 0.4, (C,)), jnp.float32)
+        steps.append(ChainStep(w=w, b=b, pre_alpha=a, plain_res=True))
+        pre = jnp.where(ref >= 0, ref, ref * a)
+        ref = jax.lax.conv_general_dilated(
+            pre, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b + ref
+
+    out = conv_chain(x, steps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=0)
+
+
+def test_metricnet_chain_matches_xla():
+    """metricnet_apply with the fused chain == the XLA conv stack."""
+    import jax.numpy as jnp
+    from drba_tpu.convert import load_network
+    from drba_tpu.models.gmfss_nets import METRICNET_SPEC, metricnet_apply
+
+    p = load_network(None, "metric.pkl", METRICNET_SPEC, seed=0)
+    rng = np.random.default_rng(12)
+    n, h, w = 1, 32, 64
+    img0, img1 = (jnp.asarray(rng.uniform(0, 1, (n, h, w, 3)), jnp.float32)
+                  for _ in range(2))
+    f01, f10 = (jnp.asarray(rng.normal(size=(n, h, w, 2)) * 2, jnp.float32)
+                for _ in range(2))
+    ref = metricnet_apply(p, img0, img1, f01, f10, conv_backend="xla")
+    out = metricnet_apply(p, img0, img1, f01, f10, conv_backend="pallas")
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=0)
