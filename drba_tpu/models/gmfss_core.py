@@ -59,8 +59,8 @@ def gmfss_reuse(p: GmfssParams, img0, img1, scale: float, union: bool = False,
     featurenet evaluation per window, bit-identical.
     """
     if feat0 is None:
-        feat0 = featurenet_apply(p.feat_ext, img0)
-    feat1 = featurenet_apply(p.feat_ext, img1)
+        feat0 = featurenet_apply(p.feat_ext, img0, conv_backend=conv_backend)
+    feat1 = featurenet_apply(p.feat_ext, img1, conv_backend=conv_backend)
 
     img0h = scale_by(img0, 0.5)
     img1h = scale_by(img1, 0.5)

@@ -201,12 +201,23 @@ def build_featurenet_spec() -> dict:
 FEATURENET_SPEC = build_featurenet_spec()
 
 
-def featurenet_apply(p: Params, x):
+def featurenet_apply(p: Params, x, conv_backend: str = "auto"):
     """3-level pyramid at 1/2, 1/4, 1/8 (model_gmfss/FeatureNet.py:29-34)."""
     outs = []
     for i in (1, 2, 3):
         x = conv2d(p, f"block{i}.1", prelu(p, f"block{i}.0", x), stride=2, padding=1)
-        x = conv2d(p, f"block{i}.3", prelu(p, f"block{i}.2", x), stride=1, padding=1)
+        if i == 1 and _use_conv_chain(conv_backend, x.shape[1], x.shape[2]):
+            # the level-1 64ch conv at half res is the slow XLA geometry
+            # (docs/ROADMAP.md); run it as a 1-conv chain with the
+            # pre-PReLU fused
+            from drba_tpu.ops.conv_chain import ChainStep, conv_chain
+
+            x = conv_chain(x, [ChainStep(
+                w=p[f"block{i}.3.weight"], b=p[f"block{i}.3.bias"],
+                pre_alpha=p[f"block{i}.2.weight"],
+            )])
+        else:
+            x = conv2d(p, f"block{i}.3", prelu(p, f"block{i}.2", x), stride=1, padding=1)
         outs.append(x)
     return tuple(outs)
 

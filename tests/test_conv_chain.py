@@ -235,3 +235,18 @@ def test_metricnet_chain_matches_xla():
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=0)
+
+
+def test_featurenet_chain_matches_xla():
+    import jax.numpy as jnp
+    from drba_tpu.convert import load_network
+    from drba_tpu.models.gmfss_nets import FEATURENET_SPEC, featurenet_apply
+
+    p = load_network(None, "feat.pkl", FEATURENET_SPEC, seed=0)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 128, 3)), jnp.float32)
+    ref = featurenet_apply(p, x, conv_backend="xla")
+    out = featurenet_apply(p, x, conv_backend="pallas")
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=0)
