@@ -55,7 +55,12 @@ FEATURE_CHANNELS = 128
 def _fused_attention_on() -> bool:
     """Gate for the fused attention kernels (ops/attn_mxu.py): production
     TPU only — tests patch this to exercise the kernel wiring in interpret
-    mode on CPU."""
+    mode on CPU. ``DRBA_DISABLE_FUSED_ATTN=1`` falls back to the einsum
+    path (operational kill switch)."""
+    import os
+
+    if os.environ.get("DRBA_DISABLE_FUSED_ATTN"):
+        return False
     return jax.default_backend() == "tpu"
 
 
