@@ -43,54 +43,68 @@ def einsum_attn(qs, ks, vs, mask, b):
 def main():
     on_tpu = jax.default_backend() != "cpu"
     rng = np.random.default_rng(0)
-    if on_tpu:
-        b, k, h, w, c = 2, 8, 272, 480, 128   # gmflow splits=8, 1080p 1/4-res
-        dt = jnp.bfloat16
-    else:
-        b, k, h, w, c = 1, 2, 16, 24, 128
-        dt = jnp.float32
-    wh, ww = h // k, w // k
-    L = wh * ww
-    bkk = b * k * k
-    qs, ks, vs = (jnp.asarray(rng.normal(size=(bkk, L, c)), dt)
-                  for _ in range(3))
-    mask = jnp.asarray(_shift_window_mask(h, w, k))
-    rid = jnp.tile(jnp.asarray(_shift_region_labels(h, w, k)), (b, 1))
+    from drba_tpu.models.gmflow_net import _window_attention
+    import drba_tpu.models.gmflow_net as gm
+    from drba_tpu.ops.attn_mxu import window_attention_nhwc
 
-    ref = np.asarray(jax.jit(einsum_attn, static_argnames="b")(
-        qs, ks, vs, mask, b)).astype(np.float32)
-    new = np.asarray(window_attention_mxu(qs, ks, vs, rid, with_mask=True)
-                     ).astype(np.float32)
-    err = np.abs(ref - new).max()
-    denom = np.abs(ref).max()
-    print(f"max |einsum - kernel| = {err:.2e} (max |ref| {denom:.2f})",
-          flush=True)
-    tol = 0.05 if dt == jnp.bfloat16 else 1e-4
-    assert err <= tol, err
-    if not on_tpu:
-        print("CPU parity OK (interpret mode)")
-        return
+    # the REAL gmfss-at-1080p gmflow geometries (flownet input 544x960):
+    #   scale0 1/8-res (68, 120) splits=2 -> 8 windows of L=2040 (b=2 bidir)
+    #   scale1 1/4-res (136, 240) splits=8 -> 128 windows of L=510 (b=4)
+    geoms = [(2, 2, 68, 120), (4, 8, 136, 240)] if on_tpu else [(1, 2, 16, 24)]
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
 
     sync = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
-    fns = {
-        "einsum": lambda q: einsum_attn(q, ks, vs, mask, b),
-        "kernel": lambda q: window_attention_mxu(q, ks, vs, rid,
-                                                 with_mask=True),
-    }
-    for name, fn in fns.items():
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(q0, n, fn=fn):
-            def body(_, carry):
-                return fn(qs + carry[:1, :1, :1].astype(dt))
-            return jax.lax.fori_loop(0, n, body, q0)
+    for b, k, h, w in geoms:
+        c = 128
+        q, kk, v = (jnp.asarray(rng.normal(size=(b, h, w, c)), dt)
+                    for _ in range(3))
 
-        n = 16
-        float(sync(loop(qs, n)))
-        t0 = time.perf_counter()
-        float(sync(loop(qs, n)))
-        ms = (time.perf_counter() - t0) / n * 1e3
-        print(f"{name}: {ms:7.2f} ms per ({bkk},{L},{c}) masked window attn",
+        # parity: einsum path vs the full _window_attention dispatch chain
+        ref = np.asarray(_window_attention(q, kk, v, k, h, w, True)
+                         ).astype(np.float32)
+        orig = gm._fused_attention_on
+        gm._fused_attention_on = lambda: True
+        try:
+            got = np.asarray(_window_attention(q, kk, v, k, h, w, True)
+                             ).astype(np.float32)
+        finally:
+            gm._fused_attention_on = orig
+        err = np.abs(ref - got).max()
+        tol = 0.05 if dt == jnp.bfloat16 else 1e-4
+        print(f"({b},{k},{h},{w}): |einsum - kernel path| = {err:.2e}",
               flush=True)
+        assert err <= tol, err
+        if not on_tpu:
+            print("CPU parity OK (interpret mode)")
+            continue
+
+        lab = gm._shift_region_labels(h, w, k).reshape(k * k, h // k, w // k)
+        cases = [
+            ("einsum ", lambda: _window_attention(q, kk, v, k, h, w, True)),
+            ("nhwc   ", lambda: window_attention_nhwc(
+                q, kk, v, k, lab, with_mask=True)),
+        ]
+        for name, fn in cases:
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def loop(x0, n, fn=fn):
+                # tie iterations to the carry so nothing hoists out
+                def body(_, carry):
+                    s = (jnp.max(carry.astype(jnp.float32)) * 1e-12).astype(dt)
+                    qq = q + s
+                    if fn is cases[0][1]:
+                        return _window_attention(qq, kk, v, k, h, w, True)
+                    return window_attention_nhwc(qq, kk, v, k, lab,
+                                                 with_mask=True)
+                return jax.lax.fori_loop(0, n, body, x0)
+
+            n = 16
+            out0 = fn()
+            float(sync(loop(out0, n)))
+            t0 = time.perf_counter()
+            float(sync(loop(out0, n)))
+            ms = (time.perf_counter() - t0) / n * 1e3
+            print(f"({b},{k},{h},{w}) {name}: {ms:7.3f} ms per shifted-layer "
+                  "attention", flush=True)
 
 
 if __name__ == "__main__":
