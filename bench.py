@@ -259,13 +259,35 @@ def main():
         json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
         return
 
-    fps = bench_rife()
+    try:
+        fps = bench_rife()
+        note = None
+    except Exception as e:  # pragma: no cover - TPU-side compile failures
+        # Safety net: if a Pallas kernel fails Mosaic compilation on this
+        # stack, fall back to the pure-XLA backends so the round still
+        # reports an honest (slower) number instead of crashing.
+        import traceback
+
+        traceback.print_exc()
+        import dataclasses
+
+        import drba_tpu.config as _cfg
+
+        _cfg.DEFAULT = dataclasses.replace(
+            _cfg.DEFAULT, splat_backend="shift", warp_backend="gather",
+            conv_backend="xla",
+        )
+        os.environ["DRBA_DISABLE_FUSED_ATTN"] = "1"
+        fps = bench_rife()
+        note = f"safe-fallback backends (default path failed: {type(e).__name__})"
     result = {
         "metric": "1080p 24->60 DRBA interpolated frames/sec/chip (rife path)",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 36.0, 3),
     }
+    if note:
+        result["note"] = note
     if os.path.exists(BREAKDOWN_PATH):
         result["breakdown"] = json.load(open(BREAKDOWN_PATH))
     print(json.dumps(result))
