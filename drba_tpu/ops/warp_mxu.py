@@ -95,10 +95,13 @@ def _kernel(ys_ref, xs_ref, bnd_ref, qx_ref, qy_ref, img_ref, out_ref,
     # enter the sampling matmul — a smooth-flow tile runs 2 of 4 row blocks
     # x 2 of 3 col blocks (~3x fewer MXU FLOPs and 1/3 the tent build) vs
     # the full (c*wh, ww) @ (ww, TW) product per output row it replaces.
-    rb_lo = bnd_ref[t, 0]
-    rb_hi = bnd_ref[t, 1]
-    cb_lo = bnd_ref[t, 2]
-    cb_hi = bnd_ref[t, 3]
+    # bnd is FLAT (4*n_tiles,) int32: a 2-D (n_tiles, 4) prefetch array pads
+    # each row to 128 lanes in SMEM (512 B/tile — 6 MB at 1080p, over the
+    # 1 MB SMEM budget; measured Mosaic OOM), while 1-D stays dense.
+    rb_lo = bnd_ref[4 * t + 0]
+    rb_hi = bnd_ref[4 * t + 1]
+    cb_lo = bnd_ref[4 * t + 2]
+    cb_hi = bnd_ref[4 * t + 3]
 
     # Mosaic iota is integer-only; arithmetic runs in f32 (no bf16 compares
     # on v5e), so convert once. Tent half-width 1 + spread; weight sum per
@@ -198,10 +201,11 @@ def _tap_block_bounds(qx, qy, wh, ww, spread):
     rb_hi = jnp.clip(ry_hi // 8, 0, wh // 8 - 1)
     cb_lo = jnp.clip(cx_lo // 128, 0, ww // 128 - 1)
     cb_hi = jnp.clip(cx_hi // 128, 0, ww // 128 - 1)
+    # flat (4*n_tiles,) — dense in SMEM (see _kernel's bnd layout note)
     return jnp.stack(
         [rb_lo.reshape(-1), rb_hi.reshape(-1), cb_lo.reshape(-1),
          cb_hi.reshape(-1)], axis=-1,
-    )
+    ).reshape(-1)
 
 
 def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,

@@ -246,10 +246,10 @@ def _kernel_rollup(ys_ref, xs_ref, bnd_ref, qx_ref, qy_ref, img_ref, out_ref,
     win_dma(t % 2, t).wait()
     slot = t % 2
 
-    rb_lo = bnd_ref[t, 0]
-    rb_hi = bnd_ref[t, 1]
-    cb_lo = bnd_ref[t, 2]
-    cb_hi = bnd_ref[t, 3]
+    rb_lo = bnd_ref[4 * t + 0]
+    rb_hi = bnd_ref[4 * t + 1]
+    cb_lo = bnd_ref[4 * t + 2]
+    cb_hi = bnd_ref[4 * t + 3]
 
     hwidth = 1.0 + spread
     s = 1.0 / (1.0 + 2.0 * spread)
