@@ -15,6 +15,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import collections
 import contextlib
 import queue
 import threading
@@ -23,42 +24,72 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from drba_tpu.utils import TMapper, check_scene, get_valid_net_inp_size, to_inp, to_out
+from drba_tpu.utils import TMapper, get_valid_net_inp_size, to_inp, to_out
 from drba_tpu.utils.profiling import StageTimes
+from drba_tpu.utils.scdet import scene_ssim
 from drba_tpu.utils.video_io import VideoFI_IO
+
+_EMPTY = object()  # non-blocking pull found nothing (distinct from EOF None)
 
 
 class _Prefetcher:
     """Decode+upload thread: hides host->device frame transfer latency
-    (the scarce resource on relayed TPU runtimes) behind window compute."""
+    (the scarce resource on relayed TPU runtimes) behind window compute.
+
+    A decoder/upload failure is captured and re-raised on the consuming
+    thread at the next ``next()`` (the reference's decode thread dies
+    silently and the main loop hangs on the queue, tools.py:163-171)."""
 
     def __init__(self, video_io, dst_size, dtype, depth: int = 3):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._exc: Optional[BaseException] = None
         self._t = threading.Thread(
             target=self._loop, args=(video_io, dst_size, dtype), daemon=True
         )
         self._t.start()
 
     def _loop(self, video_io, dst_size, dtype):
-        while True:
-            frame = video_io.read_frame()
-            if frame is None:
-                self._q.put(None)
-                return
-            self._q.put(to_inp(frame, dst_size, dtype))
+        try:
+            while True:
+                frame = video_io.read_frame()
+                if frame is None:
+                    self._q.put(None)
+                    return
+                self._q.put(to_inp(frame, dst_size, dtype))
+        except BaseException as e:  # propagate to the consumer
+            self._exc = e
+            self._q.put(None)
+
+    def _check(self, item):
+        if item is None and self._exc is not None:
+            raise RuntimeError("frame decode/upload thread failed") from self._exc
+        return item
 
     def next(self):
-        return self._q.get()
+        return self._check(self._q.get())
+
+    def next_nowait(self):
+        """Non-blocking pull: a queued frame, None at EOF, or ``_EMPTY``."""
+        try:
+            return self._check(self._q.get_nowait())
+        except queue.Empty:
+            return _EMPTY
 
 
 class _Emitter:
-    """Download+encode thread: drains finished device frames in order."""
+    """Download+encode thread: drains finished device frames in order.
+
+    On a write failure the loop keeps draining (so ``emit`` never deadlocks
+    on a full queue) and the error re-raises on the main thread at the next
+    ``emit``/``finish`` — e.g. ffmpeg dying mid-run (broken pipe) aborts the
+    run with the real error instead of piling frames until a join timeout."""
 
     def __init__(self, video_io, src_size, stats, depth: int = 8):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._video_io = video_io
         self._src_size = src_size
         self._stats = stats
+        self._exc: Optional[BaseException] = None
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
 
@@ -67,15 +98,84 @@ class _Emitter:
             x = self._q.get()
             if x is None:
                 return
-            self._video_io.write_frame(to_out(x, self._src_size))
-            self._stats.frames_out += 1
+            if self._exc is not None:
+                continue  # drain mode: unblock the producer, drop frames
+            try:
+                self._video_io.write_frame(to_out(x, self._src_size))
+                self._stats.frames_out += 1
+            except BaseException as e:
+                self._exc = e
+
+    def _check(self):
+        if self._exc is not None:
+            raise RuntimeError("frame download/encode thread failed") from self._exc
 
     def emit(self, x):
+        self._check()
         self._q.put(x)
 
     def finish(self):
         self._q.put(None)
         self._t.join(timeout=600)
+        self._check()
+
+
+class _SceneLookahead:
+    """Chunk-resolved scene detection for the serial path.
+
+    The reference resolves one SSIM boolean per window (infer.py:118-120) —
+    on a relayed runtime that is a host round-trip with the device idle.
+    Here frames are pulled opportunistically ahead of the window loop (the
+    prefetch thread already decodes ahead), each consecutive pair's 32x32
+    SSIM is enqueued on device at pull time, and all pending scores resolve
+    in ONE stacked transfer when the next flag is needed — amortizing the
+    sync over up to ``depth`` windows (mirrors parallel/pipeline.py's
+    deferred batched resolve)."""
+
+    def __init__(self, prefetch: _Prefetcher, prev_frame, enabled: bool,
+                 threshold: float, depth: int = 8):
+        self._prefetch = prefetch
+        self._prev = prev_frame
+        self._enabled = enabled
+        self._th = threshold
+        self._depth = depth
+        self._frames: collections.deque = collections.deque()
+        self._scores: collections.deque = collections.deque()  # device scalars
+        self._flags: collections.deque = collections.deque()   # resolved bools
+        self._eof = False
+
+    def _pull(self, block: bool) -> bool:
+        item = self._prefetch.next() if block else self._prefetch.next_nowait()
+        if item is _EMPTY:
+            return False
+        if item is None:
+            self._eof = True
+            return False
+        if self._enabled:
+            self._scores.append(scene_ssim(self._prev, item))
+        self._frames.append(item)
+        self._prev = item
+        return True
+
+    def next(self, stage=lambda name: contextlib.nullcontext()):
+        """Next ``(frame, right_scene)`` or None at end of stream."""
+        if not self._frames:
+            with stage("prefetch-wait"):
+                if self._eof or not self._pull(block=True):
+                    return None
+        while (len(self._frames) < self._depth and not self._eof
+               and self._pull(block=False)):
+            pass
+        if self._enabled and not self._flags:
+            import jax.numpy as jnp
+
+            with stage("scdet"):
+                vals = np.asarray(jnp.stack(list(self._scores)))
+            self._flags.extend(bool(v) for v in vals < self._th)
+            self._scores.clear()
+        frame = self._frames.popleft()
+        flag = self._flags.popleft() if self._enabled else False
+        return frame, flag
 
 
 def calc_ts(idx: float, t_mapper: TMapper, times: int) -> np.ndarray:
@@ -172,7 +272,8 @@ def run_pipeline(
 
     # ---- head (infer.py:93-110) ------------------------------------------
     ts = calc_ts(idx, t_mapper, times)
-    left_scene = check_scene(I0, I1, scdet_threshold) if enable_scdet else False
+    left_scene = (bool(scene_ssim(I0, I1) < scdet_threshold)
+                  if enable_scdet else False)
     right_scene = left_scene
     reuse = None
 
@@ -191,18 +292,17 @@ def run_pipeline(
         progress(1)
 
     # ---- body (infer.py:112-156) -----------------------------------------
+    scenes = _SceneLookahead(prefetch, I1, enable_scdet, scdet_threshold)
     while True:
         if max_frames is not None and stats.frames_in >= max_frames:
             break
-        with stage("prefetch-wait"):
-            I2 = prefetch.next()
-        if I2 is None:
+        nxt = scenes.next(stage)
+        if nxt is None:
             break
+        I2, right_scene = nxt
         stats.frames_in += 1
 
         ts = calc_ts(idx, t_mapper, times)
-        with stage("scdet"):
-            right_scene = check_scene(I1, I2, scdet_threshold) if enable_scdet else False
         if right_scene:
             stats.scene_cuts += 1
 
