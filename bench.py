@@ -30,6 +30,21 @@ BREAKDOWN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_breakdown.json")
 
 
+def _now_iso():
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def _age_hours(measured_at):
+    """Hours since an ISO-8601 UTC stamp; None if absent/unparseable."""
+    if not measured_at:
+        return None
+    try:
+        t = time.mktime(time.strptime(measured_at, "%Y-%m-%dT%H:%M:%SZ"))
+    except ValueError:
+        return None
+    return (time.mktime(time.gmtime()) - t) / 3600.0
+
+
 def _sync():
     import jax
     import jax.numpy as jnp
@@ -128,9 +143,14 @@ def bench_motion(model_name, mag, h=1088, w=1920, n_windows=16):
             float(sync(out[-1]))
             return n * 5 // 2
     else:
-        from drba_tpu.models.gmfss import GMFSS, _drba_window
+        if model_name == "gmfss_union":
+            from drba_tpu.models.gmfss_union import GMFSS_UNION as CLS
+            from drba_tpu.models.gmfss_union import _drba_window
+        else:
+            from drba_tpu.models.gmfss import GMFSS as CLS
+            from drba_tpu.models.gmfss import _drba_window
 
-        model = GMFSS(weights=None, scale=1.0, config=DEFAULT)
+        model = CLS(weights=None, scale=1.0, config=DEFAULT)
         # reuse flows live at half resolution: mag/2 there = mag px full-res
         r10 = model.reuse(frames[1], frames[0])._replace(
             flow01=_pan_flow(1, h // 2, w // 2, mag / 2, mag * 0.15, 1.5, 0, dt),
@@ -144,11 +164,18 @@ def bench_motion(model_name, mag, h=1088, w=1920, n_windows=16):
         def run(n):
             out = None
             for k in range(n):
-                out = _drba_window(
-                    model.params, frames[k % 2], frames[k % 2 + 1],
-                    frames[k % 2 + 2], ts_a if k % 2 == 0 else ts_b,
-                    r10, r12, True, DEFAULT.splat_backend,
-                    DEFAULT.drm_splat_scale, DEFAULT.conv_backend)
+                window = (frames[k % 2], frames[k % 2 + 1], frames[k % 2 + 2],
+                          ts_a if k % 2 == 0 else ts_b, r10, r12)
+                if model_name == "gmfss_union":
+                    out = _drba_window(
+                        model.params, model.rife_params, *window,
+                        model.scale_list, True, DEFAULT.splat_backend,
+                        DEFAULT.warp_backend, DEFAULT.drm_splat_scale,
+                        DEFAULT.conv_backend)
+                else:
+                    out = _drba_window(
+                        model.params, *window, True, DEFAULT.splat_backend,
+                        DEFAULT.drm_splat_scale, DEFAULT.conv_backend)
             float(sync(out[-1]))
             return n * 5 // 2
 
@@ -229,6 +256,10 @@ CONFIGS = {
                    lambda: bench_motion("gmfss", 8.0)),
     "gmfss_pan40": ("gmfss window, injected 40px pan (high motion)",
                     lambda: bench_motion("gmfss", 40.0)),
+    "union_pan8": ("gmfss_union window, injected 8px pan",
+                   lambda: bench_motion("gmfss_union", 8.0)),
+    "union_pan40": ("gmfss_union window, injected 40px pan (high motion)",
+                    lambda: bench_motion("gmfss_union", 40.0)),
     "gate": ("composed fast path vs exact, min frame SSIM (>= 0.995 gate)",
              gate_composed),
 }
@@ -250,13 +281,17 @@ def main():
         for name in names:
             label, fn = CONFIGS[name]
             val = fn()
+            entry = {"label": label, "measured_at": _now_iso()}
             if isinstance(val, dict):
-                breakdown[name] = {"label": label, "ssim": val}
+                entry["ssim"] = val
                 print(f"{label}: {val}")
             else:
-                breakdown[name] = {"label": label, "fps": round(val, 3)}
+                entry["fps"] = round(val, 3)
                 print(f"{label}: {val:.3f} interp frames/sec")
-        json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
+            breakdown[name] = entry
+            # save after EVERY config so a crash mid-battery keeps the
+            # finished entries (round-3 lesson: one OOM lost the sweep)
+            json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
         return
 
     try:
@@ -285,11 +320,32 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 36.0, 3),
+        "measured_at": _now_iso(),
     }
     if note:
         result["note"] = note
+    # Attach the config breakdown, but never stale numbers: the headline's
+    # own rife measurement overwrites the rife entry, and entries measured
+    # more than 12 h ago are dropped by name (round 3 shipped a 13.7 rife
+    # breakdown next to a 9.29 headline — contradictory numbers in one line
+    # that masked a 32% regression; VERDICT r3).
     if os.path.exists(BREAKDOWN_PATH):
-        result["breakdown"] = json.load(open(BREAKDOWN_PATH))
+        breakdown = json.load(open(BREAKDOWN_PATH))
+        if not note:
+            breakdown["rife"] = {"label": CONFIGS["rife"][0],
+                                 "fps": round(fps, 3),
+                                 "measured_at": result["measured_at"]}
+            json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
+        fresh, stale = {}, []
+        for name, entry in breakdown.items():
+            age = _age_hours(entry.get("measured_at"))
+            if age is None or age > 12.0:
+                stale.append(name)
+            else:
+                fresh[name] = entry
+        result["breakdown"] = fresh
+        if stale:
+            result["stale_omitted"] = stale
     print(json.dumps(result))
 
 

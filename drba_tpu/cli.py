@@ -15,6 +15,7 @@ from tqdm import tqdm
 import jax.numpy as jnp
 
 from drba_tpu.config import Config
+from drba_tpu.utils.log import get_logger
 from drba_tpu.pipeline import run_pipeline
 from drba_tpu.utils.video_io import VideoFI_IO
 
@@ -64,7 +65,14 @@ def parse_args(argv=None):
                    help="resume a crashed/interrupted segmented run: skips "
                         "windows whose outputs are in completed segments "
                         "(requires --seg-frames)")
+    p.add_argument("--strict", dest="strict", action="store_true", default=False,
+                   help="hard-fail when a weight file is absent or its keys "
+                        "don't exactly match the network spec (default "
+                        "mirrors the reference's lenient strict=False load)")
     return p.parse_args(argv)
+
+
+log = get_logger("drba_tpu.cli")
 
 
 def load_model(model_type: str, weights_root: str, scale: float, config: Config):
@@ -98,6 +106,7 @@ def main(argv=None):
         flow_scale=args.scale,
         scdet_threshold=args.scdet_threshold,
         drm_splat_scale=1.0 if args.exact_drm else 0.5,
+        strict_load=args.strict,
     )
     model = load_model(args.model_type, args.weights, args.scale, config)
 
@@ -112,8 +121,7 @@ def main(argv=None):
         if args.resume:
             skip_outputs = video_io.completed_frames
             if skip_outputs:
-                print(f"[drba_tpu] resuming after {skip_outputs} completed "
-                      f"output frames")
+                log.info("resuming after %d completed output frames", skip_outputs)
     elif args.resume:
         raise ValueError("--resume requires --seg-frames N (segmented output)")
     else:
@@ -123,7 +131,7 @@ def main(argv=None):
         )
     pbar = tqdm(total=video_io.total_frames_count)
     if args.devices > 1 and skip_outputs:
-        print("[drba_tpu] --resume runs on the serial pipeline")
+        log.info("--resume runs on the serial pipeline")
     if args.devices > 1 and not skip_outputs:
         from drba_tpu.parallel.pipeline import run_pipeline_parallel
 

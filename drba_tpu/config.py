@@ -63,6 +63,9 @@ class Config:
     drm_splat_scale: float = 0.5
     scdet_threshold: float = 0.3
     seed: int = 0
+    # hard-fail on missing/extra checkpoint keys or absent weight files
+    # instead of the reference's lenient strict=False load (CLI --strict)
+    strict_load: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -107,10 +107,10 @@ class GMFSS:
     def __init__(self, weights: str | None = None, scale: float = 1.0,
                  config: Config = DEFAULT):
         self.params = GmfssParams(
-            flownet=load_network(weights, "flownet.pkl", GMFLOW_SPEC, seed=config.seed),
-            metricnet=load_network(weights, "metric.pkl", METRICNET_SPEC, seed=config.seed + 1),
-            feat_ext=load_network(weights, "feat.pkl", FEATURENET_SPEC, seed=config.seed + 2),
-            fusionnet=load_network(weights, "fusionnet.pkl", GRIDNET_SPEC, seed=config.seed + 3),
+            flownet=load_network(weights, "flownet.pkl", GMFLOW_SPEC, seed=config.seed, strict=config.strict_load),
+            metricnet=load_network(weights, "metric.pkl", METRICNET_SPEC, seed=config.seed + 1, strict=config.strict_load),
+            feat_ext=load_network(weights, "feat.pkl", FEATURENET_SPEC, seed=config.seed + 2, strict=config.strict_load),
+            fusionnet=load_network(weights, "fusionnet.pkl", GRIDNET_SPEC, seed=config.seed + 3, strict=config.strict_load),
         )
         self.scale = scale
         self.pad_size = 64

@@ -137,13 +137,13 @@ class GMFSS_UNION:
     def __init__(self, weights: str | None = None, scale: float = 1.0,
                  config: Config = DEFAULT):
         self.params = GmfssParams(
-            flownet=load_network(weights, "flownet.pkl", GMFLOW_SPEC, seed=config.seed),
-            metricnet=load_network(weights, "metric.pkl", METRICNET_SPEC, seed=config.seed + 1),
-            feat_ext=load_network(weights, "feat.pkl", FEATURENET_SPEC, seed=config.seed + 2),
-            fusionnet=load_network(weights, "fusionnet.pkl", GRIDNET_UNION_SPEC, seed=config.seed + 3),
+            flownet=load_network(weights, "flownet.pkl", GMFLOW_SPEC, seed=config.seed, strict=config.strict_load),
+            metricnet=load_network(weights, "metric.pkl", METRICNET_SPEC, seed=config.seed + 1, strict=config.strict_load),
+            feat_ext=load_network(weights, "feat.pkl", FEATURENET_SPEC, seed=config.seed + 2, strict=config.strict_load),
+            fusionnet=load_network(weights, "fusionnet.pkl", GRIDNET_UNION_SPEC, seed=config.seed + 3, strict=config.strict_load),
         )
         self.rife_params = fold_lastconvs(
-            load_network(weights, "rife.pkl", IFNET_SPEC, seed=config.seed + 4)
+            load_network(weights, "rife.pkl", IFNET_SPEC, seed=config.seed + 4, strict=config.strict_load)
         )
         self.scale = scale
         self.scale_list = tuple(s / scale for s in (16.0, 8.0, 4.0, 2.0, 1.0))

@@ -214,7 +214,7 @@ class RIFE:
     def __init__(self, weights: str | None = None, scale: float = 1.0,
                  config: Config = DEFAULT):
         self.params = fold_lastconvs(
-            load_network(weights, "flownet.pkl", IFNET_SPEC, seed=config.seed)
+            load_network(weights, "flownet.pkl", IFNET_SPEC, seed=config.seed, strict=config.strict_load)
         )
         self.scale = scale
         self.scale_list = tuple(s / scale for s in (16.0, 8.0, 4.0, 2.0, 1.0))

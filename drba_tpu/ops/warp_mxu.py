@@ -47,6 +47,7 @@ wrapper transposes back to NHWC.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +58,7 @@ TH, TW = 8, 128  # output tile
 
 
 def _kernel(ys_ref, xs_ref, bnd_ref, qx_ref, qy_ref, img_ref, out_ref,
-            win, sem, *, nty, ntx, wh, ww, c, spread):
+            win, sem, *, nty, ntx, wh, ww, c, spread, adaptive):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -89,6 +90,31 @@ def _kernel(ys_ref, xs_ref, bnd_ref, qx_ref, qy_ref, img_ref, out_ref,
 
     win_dma(t % 2, t).wait()
     slot = t % 2
+
+    if not adaptive:
+        # Monolithic path (DRBA_WARP_ADAPTIVE=0): per output row, ONE
+        # (c*wh, ww) @ (ww, TW) matmul + one masked reduction — fully
+        # unrolled static control flow the Mosaic scheduler can pipeline.
+        # The adaptive path below trades MXU shape for skipped blocks; for
+        # few-channel warps its (c*8, 128) fragments underfill the MXU and
+        # its dynamic-trip fori_loops can't unroll, so this switch exists
+        # to price that trade on real hardware (round-3 regression bisect).
+        m = win[slot].reshape(c * wh, ww)
+        xxf = jax.lax.broadcasted_iota(jnp.int32, (ww, TW), 0).astype(jnp.float32)
+        rrf = jax.lax.broadcasted_iota(jnp.int32, (wh, TW), 0).astype(jnp.float32)
+        hw_ = 1.0 + spread
+        s_ = 1.0 / (1.0 + 2.0 * spread)
+        for y in range(TH):
+            qxy = qx_ref[0, y, :][None, :]
+            bmat = jnp.clip(hw_ - jnp.abs(xxf - qxy), 0.0, 1.0) * s_
+            hb = jnp.dot(m, bmat.astype(m.dtype),
+                         preferred_element_type=jnp.float32)
+            qyy = qy_ref[0, y, :][None, :]
+            a = jnp.clip(hw_ - jnp.abs(rrf - qyy), 0.0, 1.0) * s_
+            out_ref[0, :, y, :] = jnp.sum(
+                hb.reshape(c, wh, TW) * a[None], axis=1
+            ).astype(out_ref.dtype)
+        return
 
     # Motion-adaptive tap-block bounds (prefetched per tile): only the row
     # blocks (of 8) and col blocks (of 128) that any tent support touches
@@ -220,6 +246,10 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
     assert wh % 16 == 0 and ww % 128 == 0, (wh, ww)
     nty, ntx = ho // TH, wo // TW
 
+    # Experiment kill switch (see _kernel): DRBA_WARP_ADAPTIVE=0 selects the
+    # monolithic per-row matmul. Read at trace time; set it before first use.
+    adaptive = os.environ.get("DRBA_WARP_ADAPTIVE", "1") != "0"
+
     qx, qy, ys, xs, _ = _prep_positions(px, py, h, w, wh, ww, spread)
     bnd = _tap_block_bounds(qx, qy, wh, ww, spread)
 
@@ -242,7 +272,7 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
     )
     return pl.pallas_call(
         functools.partial(_kernel, nty=nty, ntx=ntx, wh=wh, ww=ww, c=c,
-                          spread=spread),
+                          spread=spread, adaptive=adaptive),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, c, ho, wo), img_chw.dtype),
         interpret=jax.default_backend() == "cpu",

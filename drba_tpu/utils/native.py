@@ -54,7 +54,10 @@ def _load():
             lib.drba_ring_size.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception as e:  # toolchain absent: numpy fallbacks take over
-            print(f"[drba_tpu.native] native host lib unavailable ({e}); using numpy fallbacks")
+            from drba_tpu.utils.log import get_logger
+
+            get_logger("drba_tpu.native").warning(
+                "native host lib unavailable (%s); using numpy fallbacks", e)
             _build_failed = True
     return _lib
 

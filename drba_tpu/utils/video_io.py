@@ -20,7 +20,6 @@ import functools
 import queue
 import shutil
 import subprocess
-import sys
 import threading
 
 import cv2
@@ -62,8 +61,11 @@ def select_encoder(hwaccel: bool) -> list[str]:
     if " h264_vaapi " in enc and os.path.exists("/dev/dri/renderD128"):
         return ["-vf", "format=nv12,hwupload", "-vaapi_device",
                 "/dev/dri/renderD128", "-c:v", "h264_vaapi", "-qp", "16"]
-    print("drba_tpu: no hardware h264 encoder on this host; "
-          "-hw falls back to libx264 -preset fast", file=sys.stderr)
+    from drba_tpu.utils.log import get_logger
+
+    get_logger("drba_tpu.video_io").warning(
+        "no hardware h264 encoder on this host; "
+        "-hw falls back to libx264 -preset fast")
     return ["-c:v", "libx264", "-qp", "16", "-preset", "fast"]
 
 

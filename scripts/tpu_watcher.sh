@@ -2,10 +2,13 @@
 # TPU-tunnel recovery watcher (CLAUDE.md playbook).
 #
 # Probes the axon TPU every ~90 s; when backend init + a scalar-reduction
-# sync both succeed, runs the round-3 measurement battery (experiment
-# scripts + bench configs + headline bench) and writes logs to
-# /root/repo/.tpu_results/.  Touches .tpu_results/DONE when finished so an
-# interactive session can poll for completion.
+# sync both succeed, runs the round-4 measurement battery and writes logs
+# to /root/repo/.tpu_results/.  Touches .tpu_results/DONE when finished so
+# an interactive session can poll for completion.
+#
+# Round-4 battery (VERDICT r3): the regression bisect first — it gates
+# everything else — then the kernel experiments, then a FRESH full config
+# sweep (now stamped measured_at per entry) and the headline.
 set -u
 cd /root/repo
 OUT=/root/repo/.tpu_results
@@ -43,12 +46,14 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "[watcher] $name rc=$? $(date -u +%FT%TZ)" >>"$OUT/probe.log"
 }
 
-# Kernel experiments first (cheap, validate the unmeasured Mosaic kernels).
-run exp_splat_inkernel 1800 python scripts/exp_splat_inkernel.py
-run exp_warp_adaptive  1800 python scripts/exp_warp_adaptive.py
-run exp_attn           2400 python scripts/exp_attn.py
-# Full config battery, then the headline JSON.
-run bench_all          7200 python bench.py --config all
-run bench_headline     1800 python bench.py
+# 1. The regression bisect (subprocess-per-variant; OOM-crash-isolated).
+run bisect_r4      9600 python scripts/exp_bisect_r4.py 16
+# 2. Kernel-level warp timing (gather vs fixed vs adaptive; never produced
+#    a clean number in round 3 — OOMed pre-bd83b61).
+run exp_warp_adaptive 2400 python scripts/exp_warp_adaptive.py
+# 3. Fresh full config sweep (stamps measured_at; saves after each entry).
+run bench_all      10800 python bench.py --config all
+# 4. Headline (re-measures rife, drops stale breakdown entries).
+run bench_headline 1800 python bench.py
 touch "$OUT/DONE"
 echo "[watcher] battery complete $(date -u +%FT%TZ)" >>"$OUT/probe.log"
