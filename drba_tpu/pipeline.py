@@ -179,15 +179,21 @@ class _SceneLookahead:
 
 
 def calc_ts(idx: float, t_mapper: TMapper, times: int) -> np.ndarray:
-    """Window timesteps in [0.5, 1.5) centered on I1 (infer.py:76-91)."""
+    """Window timesteps in [0.5, 1.5) centered on I1.
+
+    SPEC-MANDATED ARITHMETIC (infer.py:76-91): values must be bit-identical
+    to the reference's or window programs retrace and outputs drift off the
+    destination grid. times-mode builds the symmetric grid around t=1
+    directly: N points spaced 1/N, mirrored about the center — an odd N
+    keeps the center sample, an even N straddles it. fps mode maps the
+    [idx-0.5, idx+0.5) half-open window through TMapper and recenters on 1.
+    """
     if times != -1:
         if times % 2:
-            stamps = [(i + 1) / times for i in range((times - 1) // 2)]
-            stamps = list(reversed([1 - t for t in stamps])) + [1] + [t + 1 for t in stamps]
-            return np.array(stamps)
-        stamps = [(i + 0.5) / times for i in range(times // 2)]
-        stamps = list(reversed([1 - t for t in stamps])) + [t + 1 for t in stamps]
-        return np.array(stamps)
+            k = np.arange(1, (times - 1) // 2 + 1, dtype=np.float64) / times
+            return np.concatenate([(1 - k)[::-1], [1.0], 1 + k])
+        k = (np.arange(times // 2, dtype=np.float64) + 0.5) / times
+        return np.concatenate([(1 - k)[::-1], 1 + k])
 
     timestamps = np.array(
         t_mapper.get_range_timestamps(idx - 0.5, idx + 0.5, lclose=True, rclose=False, normalize=False)

@@ -18,14 +18,24 @@ import numpy as np
 from drba_tpu.ops.resize import resize_to
 
 
+def _net_dim(dim: int, scale: float, div: int) -> int:
+    """Smallest working dimension >= dim whose SCALED extent is a multiple
+    of ``div`` (the network's pyramid depth requires div-aligned inputs at
+    the flow scale). SPEC-MANDATED float arithmetic — the reference rounds
+    via float ``//`` then truncates (models/utils/tools.py:41-56), and the
+    padded size must match exactly or resize grids (and outputs) shift."""
+    scaled = dim * scale
+    if scaled % div == 0:
+        return dim
+    return int((scaled // div + 1) * div / scale)
+
+
 def get_valid_net_inp_size(img: np.ndarray, scale: float, div: int = 64) -> dict:
     h, w = img.shape[:2]
-    src_h, src_w = h, w
-    if (h * scale) % div != 0:
-        h = int((h * scale // div + 1) * div / scale)
-    if (w * scale) % div != 0:
-        w = int((w * scale // div + 1) * div / scale)
-    return {"src_size": (src_h, src_w), "dst_size": (h, w)}
+    return {
+        "src_size": (h, w),
+        "dst_size": (_net_dim(h, scale, div), _net_dim(w, scale, div)),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))

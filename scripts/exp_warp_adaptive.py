@@ -199,7 +199,12 @@ def main():
                 out = fn(im0, flow)
             float(sync(out))
             ms = (time.perf_counter() - t0) / n * 1e3
-            print(f"pan {mag:4.0f}px {name:11s}: {ms:7.2f} ms", flush=True)
+            # ADVICE r3: one trailing sync is only valid while kernel time
+            # exceeds the ~3.5-4 ms per-dispatch overhead; near that floor
+            # the loop measures dispatch, not the kernel.
+            floor = " [~DISPATCH FLOOR — kernel may be faster]" if ms < 6.0 else ""
+            print(f"pan {mag:4.0f}px {name:11s}: {ms:7.2f} ms{floor}",
+                  flush=True)
 
 
 
