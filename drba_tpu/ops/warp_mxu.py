@@ -20,13 +20,14 @@ Per tile:
      build is the kernel's channel-independent cost floor, dominant for
      few-channel warps;
   3. the vertical bilinear sample is the same tent as a masked reduction
-     over the row block's 8 rows on the VPU;
-  4. per-tile MOTION-ADAPTIVE tap-block bounds (scalar-prefetched, computed
-     exactly from the tile's tent supports) loop only the row blocks (of 8)
-     and col blocks (of 128) actually touched: a smooth-flow tile runs 2 of
-     4 row blocks x 2 of 3 col blocks (~3x fewer matmul FLOPs than the full
-     (C*WH, WW) product per output row it replaced); only real in-tile flow
-     divergence pays the whole window.
+     over the row block's 8 rows on the VPU.
+
+A motion-adaptive variant (DRBA_WARP_ADAPTIVE=1) loops only the tap blocks
+each tile's tent supports touch — fewer matmul FLOPs on paper, but MEASURED
+43% SLOWER end-to-end on v5e (9.27 vs 16.32 fps, 1080p rife window,
+2026-08-19): Mosaic cannot unroll/pipeline the dynamic-trip fori_loops and
+the (c*8, 128) fragments underfill the MXU. The monolithic per-row matmul
+is the default; the variant is kept for re-evaluation on future toolchains.
 
 Semantics match ops.warp.backwarp with ``padding_mode='border'``
 (reference: models/rife_426_heavy/warplayer.py:8-22) EXACTLY for every pixel
@@ -246,12 +247,18 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
     assert wh % 16 == 0 and ww % 128 == 0, (wh, ww)
     nty, ntx = ho // TH, wo // TW
 
-    # Experiment kill switch (see _kernel): DRBA_WARP_ADAPTIVE=0 selects the
-    # monolithic per-row matmul. Read at trace time; set it before first use.
-    adaptive = os.environ.get("DRBA_WARP_ADAPTIVE", "1") != "0"
+    # Tap-block-adaptive bounds are OFF by default: measured 2026-08-19 on
+    # v5e, the adaptive kernel runs the 1080p rife window at 9.27 fps vs
+    # 16.32 for the monolithic path (.tpu_results/bisect_r4.log) — the
+    # dynamic-trip fori_loops can't unroll/pipeline under Mosaic and the
+    # (c*8,128)@(128,TW) fragments underfill the MXU, costing far more
+    # than the skipped blocks save. DRBA_WARP_ADAPTIVE=1 re-enables it
+    # for experiments. Read at trace time; set before first use.
+    adaptive = os.environ.get("DRBA_WARP_ADAPTIVE", "0") == "1"
 
     qx, qy, ys, xs, _ = _prep_positions(px, py, h, w, wh, ww, spread)
-    bnd = _tap_block_bounds(qx, qy, wh, ww, spread)
+    bnd = (_tap_block_bounds(qx, qy, wh, ww, spread) if adaptive
+           else jnp.zeros((4,), jnp.int32))  # unread in the monolithic path
 
     plane = pl.BlockSpec((1, TH, TW), lambda b, i, j, ys, xs, bnd: (b, i, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
