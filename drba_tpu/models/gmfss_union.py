@@ -158,10 +158,13 @@ class GMFSS_UNION:
     def reuse(self, img0, img1, feat0=None) -> Reuse:
         return self._reuse_jit(self.params, img0, img1, feat0=feat0)
 
-    def inference_ts(self, I0, I1, ts):
+    def inference_ts(self, I0, I1, ts, reuse=None, return_reuse=False):
+        """Plain interpolation; ``reuse``/``return_reuse`` chain the GMFlow
+        pass across scene-cut windows (see models/gmfss.py)."""
         if len(ts) == 0:
-            return []
-        reuse = self.reuse(I0, I1)
+            return ([], None) if return_reuse else []
+        if reuse is None:
+            reuse = self.reuse(I0, I1)
         out = _ts_batch(
             self.params, self.rife_params, I0, I1,
             jnp.asarray(ts, jnp.float32), reuse, self.scale_list,
@@ -169,7 +172,8 @@ class GMFSS_UNION:
             warp_backend=self.config.warp_backend,
             conv_backend=self.config.conv_backend,
         )
-        return [out[i] for i in range(len(ts))]
+        frames = [out[i] for i in range(len(ts))]
+        return (frames, reuse) if return_reuse else frames
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
         reuse10 = self.reuse(I1, I0) if reuse is None else reuse

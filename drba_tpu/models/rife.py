@@ -228,15 +228,24 @@ class RIFE:
                          conv_backend=self.config.conv_backend)
 
     # -- public API --------------------------------------------------------
-    def inference_ts(self, I0, I1, ts: Sequence[float]):
-        """Interpolate at plain timesteps in [0, 1] (models/rife.py:27-39)."""
+    def inference_ts(self, I0, I1, ts: Sequence[float], reuse=None,
+                     return_reuse=False):
+        """Interpolate at plain timesteps in [0, 1] (models/rife.py:27-39).
+
+        ``reuse``/``return_reuse`` exist for API uniformity with the gmfss
+        paths (the pipeline chains flow passes across scene cuts); IFNet
+        computes timestep-conditioned flows inside the batched program, so
+        there is no window-independent pass to hand back — reuse is ignored
+        and the returned reuse is always None.
+        """
         if len(ts) == 0:
-            return []
+            return ([], None) if return_reuse else []
         tsv = jnp.asarray(ts, jnp.float32)
         out = _ts_batch(self.params, I0, I1, tsv, self.scale_list,
                         warp_backend=self.config.warp_backend,
                         conv_backend=self.config.conv_backend)
-        return [out[i] for i in range(len(ts))]
+        frames = [out[i] for i in range(len(ts))]
+        return (frames, None) if return_reuse else frames
 
     def inference_ts_drba(self, I0, I1, I2, ts, reuse=None, linear: bool = False):
         """DRM-adjusted interpolation over a 3-frame window.

@@ -320,17 +320,27 @@ def run_pipeline(
                 reuse = None
                 return [I1 for _ in ts]
             if ls:
-                # cut in I0~I1: plain interpolation on the right (infer.py:126-132)
+                # cut in I0~I1: plain interpolation on the right (infer.py:126-132).
+                # The flow pass computed here IS next window's chain carry
+                # (reuse(I1',I0') = swapped reuse(I1,I2)) — hand it forward
+                # instead of discarding it (the reference recomputes; a
+                # cut-heavy stream would pay a full GMFlow per cut twice).
                 left_ts = ts[ts < 1]
                 right_ts = ts[ts >= 1] - 1
-                reuse = None
-                return [I1 for _ in left_ts] + list(model.inference_ts(I1, I2, right_ts))
+                frames, fwd = model.inference_ts(I1, I2, right_ts,
+                                                 return_reuse=True)
+                reuse = fwd.swapped() if hasattr(fwd, "swapped") else None
+                return [I1 for _ in left_ts] + list(frames)
             if rs:
-                # cut in I1~I2: plain interpolation on the left (infer.py:134-140)
+                # cut in I1~I2: plain interpolation on the left (infer.py:134-140),
+                # feeding the chain's existing I1<->I0 pass back in (swapped
+                # to I0->I1) so no new GMFlow runs for this window.
                 left_ts = ts[ts <= 1]
                 right_ts = ts[ts > 1] - 1
+                prev = reuse.swapped() if hasattr(reuse, "swapped") else None
                 reuse = None
-                return list(model.inference_ts(I0, I1, left_ts)) + [I1 for _ in right_ts]
+                return list(model.inference_ts(I0, I1, left_ts, reuse=prev)) \
+                    + [I1 for _ in right_ts]
             output, reuse = model.inference_ts_drba(I0, I1, I2, ts, reuse, linear=True)
             return output
 
@@ -349,7 +359,10 @@ def run_pipeline(
     def tail_block(I0=I0, I1=I1, ts=ts):
         left_ts = ts[ts <= 1]
         right_ts = ts[ts > 1] - 1
-        return list(model.inference_ts(I0, I1, left_ts)) + [I1 for _ in right_ts]
+        # the last window's chain carry is reuse(I1, I0) here — swap it in
+        prev = reuse.swapped() if hasattr(reuse, "swapped") else None
+        return list(model.inference_ts(I0, I1, left_ts, reuse=prev)) \
+            + [I1 for _ in right_ts]
 
     emit_block(len(ts), tail_block)
     if progress:
