@@ -31,11 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from drba_tpu.ops.warp_mxu import TH, TW, _prep_positions
 
-YB = 4  # output rows per matmul group
+YB_DEFAULT = 4  # output rows per matmul group
 
 
 def _kernel(ys_ref, xs_ref, qx_ref, qy_ref, img_ref, out_ref,
-            win, sem, *, nty, ntx, wh, ww, c, spread):
+            win, sem, *, nty, ntx, wh, ww, c, spread, YB):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -86,7 +86,7 @@ def _kernel(ys_ref, xs_ref, qx_ref, qy_ref, img_ref, out_ref,
                 :, y * TW:(y + 1) * TW].astype(out_ref.dtype)
 
 
-def _sample_chw(img_chw, px, py, wh, ww, spread=0.0):
+def _sample_chw(img_chw, px, py, wh, ww, spread=0.0, YB=YB_DEFAULT):
     bsz, c, h, w = img_chw.shape
     _, ho, wo = px.shape
     nty, ntx = ho // TH, wo // TW
@@ -106,22 +106,22 @@ def _sample_chw(img_chw, px, py, wh, ww, spread=0.0):
     )
     return pl.pallas_call(
         functools.partial(_kernel, nty=nty, ntx=ntx, wh=wh, ww=ww, c=c,
-                          spread=spread),
+                          spread=spread, YB=YB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, c, ho, wo), img_chw.dtype),
         interpret=jax.default_backend() == "cpu",
     )(ys, xs, qx, qy, img_chw)
 
 
-@functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def backwarp_wide(img, flow, wh=32, ww=384):
+@functools.partial(jax.jit, static_argnames=("wh", "ww", "YB"))
+def backwarp_wide(img, flow, wh=32, ww=384, YB=YB_DEFAULT):
     _, h, w, _ = img.shape
     gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     px = jnp.clip(gx + flow[..., 0].astype(jnp.float32), 0.0, w - 1)
     py = jnp.clip(gy + flow[..., 1].astype(jnp.float32), 0.0, h - 1)
     img_chw = jnp.transpose(img, (0, 3, 1, 2))
-    out = _sample_chw(img_chw, px, py, wh, ww)
+    out = _sample_chw(img_chw, px, py, wh, ww, YB=YB)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
@@ -142,17 +142,22 @@ def main():
     flow = jnp.asarray(np.tile(f, (B, 1, 1, 1))).astype(img.dtype)
 
     ref = np.asarray(backwarp_mxu(img, flow), np.float32)
-    new = np.asarray(backwarp_wide(img, flow), np.float32)
-    err = np.abs(ref - new).max()
-    print(f"max |ref - wide| = {err:.2e}", flush=True)
-    assert err < (1e-2 if on_tpu else 1e-5)
+    for yb in (2, 4, 8):
+        new = np.asarray(backwarp_wide(img, flow, YB=yb), np.float32)
+        err = np.abs(ref - new).max()
+        print(f"max |ref - wide(YB={yb})| = {err:.2e}", flush=True)
+        assert err < (1e-2 if on_tpu else 1e-5)
 
     if not on_tpu:
         print("CPU parity OK (interpret mode); run on TPU for timing")
         return
 
     sync = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
-    for name, fn in (("prod", backwarp_mxu), ("wide", backwarp_wide)):
+    variants = [("prod", backwarp_mxu)] + [
+        (f"wide YB={yb}", functools.partial(backwarp_wide, YB=yb))
+        for yb in (2, 4, 8)
+    ]
+    for name, fn in variants:
         @functools.partial(jax.jit, static_argnames=("n",))
         def loop(img, flow, n, fn=fn):
             def body(_, carry):
@@ -164,7 +169,9 @@ def main():
         t0 = time.perf_counter()
         float(sync(loop(img, flow, n)))
         dt = (time.perf_counter() - t0) / n * 1e3
-        print(f"{name}: {dt:7.2f} ms per (6,1088,1920,19) warp", flush=True)
+        floor = " [~dispatch floor]" if dt < 6.0 else ""
+        print(f"{name:10s}: {dt:7.2f} ms per (6,1088,1920,19) warp{floor}",
+              flush=True)
 
 
 if __name__ == "__main__":
