@@ -278,20 +278,33 @@ def main():
         breakdown = {}
         if os.path.exists(BREAKDOWN_PATH):
             breakdown = json.load(open(BREAKDOWN_PATH))
+        failed = []
         for name in names:
             label, fn = CONFIGS[name]
-            val = fn()
             entry = {"label": label, "measured_at": _now_iso()}
-            if isinstance(val, dict):
-                entry["ssim"] = val
-                print(f"{label}: {val}")
+            try:
+                val = fn()
+            except Exception as e:  # keep sweeping: one config must not
+                # lose the rest (round 3: one compile OOM killed the sweep)
+                import traceback
+
+                traceback.print_exc()
+                entry["error"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"{label}: FAILED ({type(e).__name__})")
+                failed.append(name)
             else:
-                entry["fps"] = round(val, 3)
-                print(f"{label}: {val:.3f} interp frames/sec")
+                if isinstance(val, dict):
+                    entry["ssim"] = val
+                    print(f"{label}: {val}")
+                else:
+                    entry["fps"] = round(val, 3)
+                    print(f"{label}: {val:.3f} interp frames/sec")
             breakdown[name] = entry
             # save after EVERY config so a crash mid-battery keeps the
-            # finished entries (round-3 lesson: one OOM lost the sweep)
+            # finished entries
             json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
+        if failed:
+            raise SystemExit(f"configs failed: {failed}")
         return
 
     try:

@@ -45,7 +45,10 @@ def _kernel(q_ref, k_ref, v_ref, rr_ref, rc_ref, out_ref, *, L, scale,
     col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], lpad), 1)
     dead = col >= L
     if with_mask:
-        dead = dead | (rr_ref[0][:, None] != rc_ref[0][None, :])
+        # rr (Lq, 1) vs rc (1, Lpad): region ids ride as 3-D trailing/leading
+        # singleton operands — a 2-D (B, L) operand with a (1, _LQ) block
+        # violates the Pallas last-two-dims rule whenever B > 1
+        dead = dead | (rr_ref[0] != rc_ref[0])
     s = jnp.where(dead, -1e9, s)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
@@ -91,13 +94,13 @@ def window_attention_mxu(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, _LQ, c), lambda bb, i: (bb, i, 0)),
             pl.BlockSpec((1, lpad, c), lambda bb, i: (bb, 0, 0)),
             pl.BlockSpec((1, lpad, c), lambda bb, i: (bb, 0, 0)),
-            pl.BlockSpec((1, _LQ), lambda bb, i: (bb, i)),
-            pl.BlockSpec((1, lpad), lambda bb, i: (bb, 0)),
+            pl.BlockSpec((1, _LQ, 1), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((1, 1, lpad), lambda bb, i: (bb, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, _LQ, c), lambda bb, i: (bb, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, lpad, c), q.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(q, k, v, rid, rid)
+    )(q, k, v, rid[:, :, None], rid[:, None, :])
     return out[:, :L]
 
 
@@ -122,7 +125,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, rr_ref, rc_ref, out_ref, acc, m, l,
     col = j * _KC + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     dead = col >= L
     if with_mask:
-        dead = dead | (rr_ref[0][:, None] != rc_ref[0][None, :])
+        # (Lq, 1) vs (1, KC) — see the window kernel's rid layout note
+        dead = dead | (rr_ref[0] != rc_ref[0])
 
     m_old = m[:, 0:1]
     m_new = jnp.maximum(m_old, jnp.max(jnp.where(dead, -1e30, s), axis=1,
@@ -193,8 +197,8 @@ def flash_attention_mxu(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, _LQ, c), lambda bb, i, j: (bb, i, 0)),
             pl.BlockSpec((1, _KC, c), lambda bb, i, j: (bb, j, 0)),
             pl.BlockSpec((1, _KC, cvp), lambda bb, i, j: (bb, j, 0)),
-            pl.BlockSpec((1, _LQ), lambda bb, i, j: (bb, i)),
-            pl.BlockSpec((1, _KC), lambda bb, i, j: (bb, j)),
+            pl.BlockSpec((1, _LQ, 1), lambda bb, i, j: (bb, i, 0)),
+            pl.BlockSpec((1, 1, _KC), lambda bb, i, j: (bb, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, _LQ, cvp), lambda bb, i, j: (bb, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, lq, cvp), out_dtype or q.dtype),
@@ -204,7 +208,7 @@ def flash_attention_mxu(q: jax.Array, k: jax.Array, v: jax.Array,
             pltpu.VMEM((_LQ, 128), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(qp, kp, vp, rid_q, rid_k)
+    )(qp, kp, vp, rid_q[:, :, None], rid_k[:, None, :])
     sl = out_slice or cv
     return out[:, :L, :sl]
 

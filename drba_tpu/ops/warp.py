@@ -77,14 +77,28 @@ def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: s
     sy = jnp.clip(y0i, -1, h - 1) + 1  # patch start in padded coords
     sx = jnp.clip(x0i, -1, w - 1) + 1
 
-    flat = imgq.reshape(n, (h + 1) * wq, 4 * c)
-    idx = (sy * wq + sx).reshape(n, -1)
-    patch = jnp.take_along_axis(flat, idx[..., None], axis=1)
-    # keep corners as STATIC channel-block slices — reshaping to a trailing
-    # (2, 2, c) materializes with TPU tile padding (2 -> 8 sublanes,
-    # c -> 128 lanes), a ~16x memory blowup measured at ~35 ms extra per
-    # full-res warp.
-    patch = patch.reshape(n, *px.shape[1:], 4 * c).astype(compute)
+    # Large many-channel warps gather CHANNEL-FIRST: a row gather of width
+    # 4C makes XLA lay the result (and everything fused downstream) out
+    # channel-minor, lane-padding 4C -> 128 — a 2-10x HBM blowup that OOMs
+    # the 16 GB chip at 1080p bf16 (measured: the 19-channel IFNet warp's
+    # program hit 16.01 G). Gathering (4C, 1) columns along a flattened-
+    # spatial minormost axis keeps every layout dense at the cost of two
+    # transposes — this is the non-Pallas fallback path, so fit > speed.
+    channel_first = n * px.shape[1] * px.shape[2] * c >= (1 << 24)
+    if channel_first:
+        flat = imgq.transpose(0, 3, 1, 2).reshape(n, 4 * c, (h + 1) * wq)
+        idx = (sy * wq + sx).reshape(n, 1, -1)
+        patch = jnp.take_along_axis(flat, idx, axis=2)
+        patch = patch.reshape(n, 4 * c, *px.shape[1:]).astype(compute)
+    else:
+        flat = imgq.reshape(n, (h + 1) * wq, 4 * c)
+        idx = (sy * wq + sx).reshape(n, -1)
+        patch = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        # keep corners as STATIC channel-block slices — reshaping to a
+        # trailing (2, 2, c) materializes with TPU tile padding (2 -> 8
+        # sublanes, c -> 128 lanes), a ~16x memory blowup measured at
+        # ~35 ms extra per full-res warp.
+        patch = patch.reshape(n, *px.shape[1:], 4 * c).astype(compute)
 
     out = None
     for dy in (0, 1):
@@ -98,8 +112,13 @@ def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: s
             else:  # border: clamped corners collapse onto the edge texel
                 pass
             q = dy * 2 + dx  # imgq concat order: (0,0),(0,1),(1,0),(1,1)
-            v = patch[..., q * c : (q + 1) * c] * wgt[..., None]
+            if channel_first:
+                v = patch[:, q * c : (q + 1) * c] * wgt[:, None]
+            else:
+                v = patch[..., q * c : (q + 1) * c] * wgt[..., None]
             out = v if out is None else out + v
+    if channel_first:
+        out = jnp.moveaxis(out, 1, -1)
     return out.astype(img.dtype)
 
 
