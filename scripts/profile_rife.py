@@ -53,7 +53,10 @@ def main():
 
     win = functools.partial(
         _drba_window, scale_list=model.scale_list, linear=True,
-        splat_backend="auto", warp_backend="auto",
+        splat_backend=DEFAULT.splat_backend,
+        warp_backend=DEFAULT.warp_backend,
+        drm_splat_scale=DEFAULT.drm_splat_scale,
+        conv_backend=DEFAULT.conv_backend,
     )
     timeit("window T=3 (drm + IFNet)", win, p, I0, I1, I2, ts,
            flow10, flow12, f0, f1, f2, n=3)
