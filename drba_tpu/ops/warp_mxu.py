@@ -301,6 +301,13 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -
     window when the flow allows it was tried and reverted — the cond's
     operand materialization costs ~5 ms per call, eating most of the ~20%
     narrow-matmul saving and LOSING throughput whenever the wide path runs.
+    ww=384 is also STRUCTURALLY minimal: a zero-divergence tile spans 128
+    cols + 3 tent taps = 131, and the 128-quantized window start needs a
+    multiple inside a (ww - 131)-wide feasible interval — guaranteed only
+    when ww - 131 >= 127, i.e. ww >= 258 -> 384. (Same algebra pins wh=32:
+    10-row span + 7 for the 8-row quantization > 16.) Any narrower window
+    clips zero-motion tiles, which is why the ww=256 sweep lost >= 5%
+    coverage (docs/ROADMAP.md round-3 findings).
     """
     _, h, w, _ = img.shape
     gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
