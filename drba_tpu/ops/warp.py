@@ -54,6 +54,28 @@ def _sample_pixels(img: jax.Array, px: jax.Array, py: jax.Array, padding_mode: s
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # Small output grids (the k >= 16 tap-warps sample a strided grid from a
+    # full-res image) take FOUR plain corner gathers: gather cost is
+    # per-index, so 4x a small index count is nothing, while the one-gather
+    # patch-image trick below materializes a 4C-channel copy of the WHOLE
+    # image (+ a relayout copy of it at some geometries) — 12.4 G + 7.4 G
+    # HLO temps at 4K, a measured compile OOM for a 272x480-tap warp.
+    if px.shape[1] * px.shape[2] * 8 <= h * w:
+        out = None
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ix = x0i + dx
+                iy = y0i + dy
+                wgt = (wx if dx else (1 - wx)) * (wy if dy else (1 - wy))
+                if padding_mode == "zeros":
+                    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                    wgt = jnp.where(valid, wgt, 0.0)
+                v = _gather2d(img, jnp.clip(iy, 0, h - 1),
+                              jnp.clip(ix, 0, w - 1)).astype(compute)
+                v = v * wgt[..., None]
+                out = v if out is None else out + v
+        return out.astype(img.dtype)
+
     # pad by 1 (edge) so the 2x2 patch at clamped corners stays in bounds,
     # then interleave the 2x2 neighborhood into channels with dense shifts so
     # ONE flat-row gather fetches the whole bilinear patch (a (2,2,C) gather
