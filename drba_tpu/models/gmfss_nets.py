@@ -170,6 +170,22 @@ def metricnet_apply(p: Params, img0, img1, flow01, flow10, union: bool = False,
         steps.append(ChainStep(w=w_out, b=b_out,
                                pre_alpha=p["metric_out.0.weight"]))
         out = conv_chain(xp, steps)[..., :2]
+    elif conv_backend == "packed" and x.shape[2] % 2 == 0:
+        # all five 64ch convs column-packed (ops/conv_packed.py): same math,
+        # 2x the MACs at the measured-fast 128-lane XLA rate, one relayout
+        # pair at the net boundary; scalar PReLUs are layout-blind
+        from drba_tpu.ops.conv_chain import pack_cols, unpack_cols
+        from drba_tpu.ops.conv_packed import conv3_packed
+
+        feat = conv3_packed(pack_cols(x, 2), p["metric_in.weight"],
+                            p["metric_in.bias"])
+        for i in (1, 2, 3):
+            feat = conv3_packed(prelu(p, f"metric_net{i}.0", feat),
+                                p[f"metric_net{i}.1.weight"],
+                                p[f"metric_net{i}.1.bias"]) + feat
+        out = conv3_packed(prelu(p, "metric_out.0", feat),
+                           p["metric_out.1.weight"], p["metric_out.1.bias"])
+        out = unpack_cols(out, 2)
     else:
         feat = conv2d(p, "metric_in", x, padding=1)
         for i in (1, 2, 3):
@@ -216,6 +232,15 @@ def featurenet_apply(p: Params, x, conv_backend: str = "auto"):
                 w=p[f"block{i}.3.weight"], b=p[f"block{i}.3.bias"],
                 pre_alpha=p[f"block{i}.2.weight"],
             )])
+        elif i == 1 and conv_backend == "packed" and x.shape[2] % 2 == 0:
+            # column-packed 64ch conv (ops/conv_packed.py); scalar PReLU
+            # applies before the pack (layout-blind either way)
+            from drba_tpu.ops.conv_chain import pack_cols, unpack_cols
+            from drba_tpu.ops.conv_packed import conv3_packed
+
+            x = unpack_cols(conv3_packed(
+                pack_cols(prelu(p, f"block{i}.2", x), 2),
+                p[f"block{i}.3.weight"], p[f"block{i}.3.bias"]), 2)
         else:
             x = conv2d(p, f"block{i}.3", prelu(p, f"block{i}.2", x), stride=1, padding=1)
         outs.append(x)
@@ -426,6 +451,10 @@ def _gridnet_fused(p: Params, x, x1, x2, x3, union: bool):
 def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False,
                   conv_backend: str = "auto"):
     """GridNet lattice (model_gmfss/FusionNet.py:106-145)."""
+    if conv_backend == "packed" and x.shape[2] % 2 == 0 and x.shape[1] % 2 == 0:
+        from drba_tpu.models.gridnet_packed import gridnet_apply_packed
+
+        return gridnet_apply_packed(p, x, x1, x2, x3, union=union)
     if _use_conv_chain(conv_backend, x.shape[1], x.shape[2]):
         return _gridnet_fused(p, x, x1, x2, x3, union)
     head0 = "residual_model_head0" if union else "residual_model_head"

@@ -198,6 +198,23 @@ def _resconv_chain(p: Params, b: str, feat: jax.Array, conv_backend: str):
     ``_RESCONV_SPLIT`` convs each — intermediates stay in VMEM, bias/beta/
     leaky epilogues fuse with the matmuls (ops/conv_chain.py)."""
     c = feat.shape[-1]
+    if (conv_backend == "packed" and 128 % c == 0
+            and feat.shape[2] % (128 // c) == 0):
+        # column-packed run (ops/conv_packed.py): each conv is ONE dense
+        # packed XLA conv at the 128-lane rate (f x the MACs, f = 128/c);
+        # per-channel beta/bias tile to the f phase blocks; leaky and the
+        # residual add are layout-blind. Pack/unpack pays once per run.
+        from drba_tpu.ops.conv_chain import pack_cols, unpack_cols
+        from drba_tpu.ops.conv_packed import conv3_packed
+
+        f = 128 // c
+        xp = pack_cols(feat, f)
+        for j in range(8):
+            beta = jnp.tile(p[f"{b}.convblock.{j}.beta"], f).astype(xp.dtype)
+            y = conv3_packed(xp, p[f"{b}.convblock.{j}.conv.weight"],
+                             p[f"{b}.convblock.{j}.conv.bias"], f=f)
+            xp = leaky_relu(y * beta + xp)
+        return unpack_cols(xp, f)
     if not _use_resconv_chain(conv_backend, c, feat.shape[2]):
         for j in range(8):
             beta = p[f"{b}.convblock.{j}.beta"].astype(feat.dtype)

@@ -42,25 +42,23 @@ def _conv(x, w, strides=(1, 1), padding=((1, 1), (1, 1))):
     )
 
 
-def pack_conv3_weights(w: jax.Array) -> jax.Array:
-    """(3,3,C,K) HWIO -> (3,3,2C,2K) packed-domain weights.
+def pack_conv3_weights(w: jax.Array, f: int = 2) -> jax.Array:
+    """(3,3,C,K) HWIO -> (3,3,fC,fK) packed-domain weights, pack factor f.
 
-    Output block dj (column parity) at packed column jb covers original
-    column 2jb+dj; its original tap dx in {-1,0,1} reads column
-    2jb+dj+dx = 2(jb+b)+r, i.e. packed tap b with input parity r:
-    dj=0: (b,r) = (-1,1),(0,0),(0,1);  dj=1: (0,0),(0,1),(1,0).
+    Output block dj (column phase, 0<=dj<f) at packed column jb covers
+    original column f*jb+dj; its original tap dx in {-1,0,1} reads column
+    f*jb+dj+dx = f*(jb+b)+r with b = (dj+dx)//f in {-1,0,1} and
+    r = (dj+dx) mod f — the packed kernel width stays 3 for any f, with
+    (3f-2)/3f of the blocks structural zeros (half at f=2).
     """
     kh, kw, c, k = w.shape
     assert (kh, kw) == (3, 3), w.shape
-    wp = jnp.zeros((3, 3, 2 * c, 2 * k), w.dtype)
-    # dj = 0 output parity
-    wp = wp.at[:, 0, c:, :k].set(w[:, 0])
-    wp = wp.at[:, 1, :c, :k].set(w[:, 1])
-    wp = wp.at[:, 1, c:, :k].set(w[:, 2])
-    # dj = 1 output parity
-    wp = wp.at[:, 1, :c, k:].set(w[:, 0])
-    wp = wp.at[:, 1, c:, k:].set(w[:, 1])
-    wp = wp.at[:, 2, :c, k:].set(w[:, 2])
+    wp = jnp.zeros((3, 3, f * c, f * k), w.dtype)
+    for dj in range(f):
+        for dx in (-1, 0, 1):
+            b, r = divmod(dj + dx, f)
+            wp = wp.at[:, b + 1, r * c:(r + 1) * c, dj * k:(dj + 1) * k].set(
+                w[:, dx + 1])
     return wp
 
 
@@ -118,12 +116,13 @@ def h_interleave(y: jax.Array) -> jax.Array:
         n, 2 * h, p, k2)
 
 
-def conv3_packed(xp: jax.Array, w: jax.Array, b: jax.Array | None = None):
+def conv3_packed(xp: jax.Array, w: jax.Array, b: jax.Array | None = None,
+                 f: int = 2):
     """3x3/s1/p1 conv in the packed domain. ``w`` is the ORIGINAL (3,3,C,K);
-    ``xp`` is pack_cols(x, 2); returns pack_cols(conv(x, w), 2)."""
-    out = _conv(xp, pack_conv3_weights(w))
+    ``xp`` is pack_cols(x, f); returns pack_cols(conv(x, w), f)."""
+    out = _conv(xp, pack_conv3_weights(w, f))
     if b is not None:
-        out = out + jnp.concatenate([b, b]).astype(out.dtype)
+        out = out + jnp.tile(b, f).astype(out.dtype)
     return out.astype(xp.dtype)
 
 

@@ -96,7 +96,11 @@ def lattice():
         @functools.partial(jax.jit, static_argnames=("n",))
         def loop(x, x1, x2, x3, n, fn=fn):
             def body(_, carry):
-                return fn(x + carry[0, 0, 0, 0] * 0, x1, x2, x3)
+                # genuine carry->input dependence (anti-DCE/anti-hoist); the
+                # scaled-down mean rounds away in bf16
+                eps = (jnp.mean(carry.astype(jnp.float32))
+                       * jnp.float32(1e-20)).astype(dt)
+                return fn(x + eps, x1, x2, x3)
 
             init = jnp.zeros((N, H * 2, W * 2, 3), dt)
             return jax.lax.fori_loop(0, n, body, init)
@@ -110,6 +114,73 @@ def lattice():
               f" ms/iter  ({ITERS} iters)")
 
 
+def sites():
+    """Per-site packed-vs-incumbent timings at production geometry."""
+    from drba_tpu.models.gmfss_nets import (
+        FEATURENET_SPEC, METRICNET_SPEC, featurenet_apply, metricnet_apply,
+    )
+    from drba_tpu.models.ifnet import _resconv_chain
+
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+
+    def timeit(label, fn, *args):
+        # carry a full-output reduction back into the input so neither DCE
+        # nor loop-invariant hoisting can elide the body; the tiny scaled
+        # perturbation rounds away in bf16 (values unchanged iter to iter)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(a, n):
+            def body(_, c):
+                out = fn(a[0] + (c * jnp.float32(1e-20)).astype(a[0].dtype),
+                         *a[1:])
+                return functools.reduce(
+                    lambda s, leaf: s + jnp.sum(leaf.astype(jnp.float32)),
+                    jax.tree.leaves(out), jnp.float32(0)) * 1e-9
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        float(loop(args, ITERS))  # scalar result transfer = the sync
+        t0 = time.perf_counter()
+        float(loop(args, ITERS))
+        print(f"{label:42s} {(time.perf_counter() - t0) / ITERS * 1e3:8.2f} ms")
+
+    # IFNet ResConv runs (rife window T=3 -> feat batch 3)
+    for c in (64, 32):
+        spec = {}
+        for j in range(8):
+            spec[f"blk.convblock.{j}.conv.weight"] = ("conv", 3, 3, c, c)
+            spec[f"blk.convblock.{j}.conv.bias"] = ("bias", c)
+            spec[f"blk.convblock.{j}.beta"] = ("ones", (c,))
+        p = {k: jnp.asarray(v, dt) for k, v in init_from_spec(spec, seed=1).items()}
+        feat = jnp.asarray(rng.normal(0, 1, (3, 272, 480, c)), dt)
+        for backend in ("xla", "pallas", "packed"):
+            timeit(f"resconv c={c} (3,272,480) {backend}",
+                   lambda x, bk=backend, pp=p: _resconv_chain(pp, "blk", x, bk),
+                   feat)
+
+    # MetricNet at 1080p (gmfss reuse geometry)
+    pm = {k: jnp.asarray(v, dt)
+          for k, v in init_from_spec(METRICNET_SPEC, seed=2).items()}
+    i0 = jnp.asarray(rng.normal(0.5, 0.2, (1, 1088, 1920, 3)), dt)
+    i1 = jnp.asarray(rng.normal(0.5, 0.2, (1, 1088, 1920, 3)), dt)
+    f01 = jnp.asarray(rng.normal(0, 4, (1, 1088, 1920, 2)), dt)
+    f10 = jnp.asarray(rng.normal(0, 4, (1, 1088, 1920, 2)), dt)
+    for backend in ("xla", "pallas", "packed"):
+        timeit(f"metricnet 1080p {backend}",
+               lambda a, b, c, d, bk=backend: metricnet_apply(
+                   pm, a, b, c, d, conv_backend=bk, warp_backend="gather"),
+               i0, i1, f01, f10)
+
+    # FeatureNet at 1080p
+    pf = {k: jnp.asarray(v, dt)
+          for k, v in init_from_spec(FEATURENET_SPEC, seed=3).items()}
+    for backend in ("xla", "pallas", "packed"):
+        timeit(f"featurenet 1080p {backend}",
+               lambda a, bk=backend: featurenet_apply(pf, a, conv_backend=bk),
+               i0)
+
+
 if __name__ == "__main__":
     conv_rates()
     lattice()
+    sites()

@@ -46,14 +46,13 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "[watcher] $name rc=$? $(date -u +%FT%TZ)" >>"$OUT/probe.log"
 }
 
-# 1. The regression bisect (subprocess-per-variant; OOM-crash-isolated).
-run bisect_r4      9600 python scripts/exp_bisect_r4.py 16
-# 2. Kernel-level warp timing (gather vs fixed vs adaptive; never produced
-#    a clean number in round 3 — OOMed pre-bd83b61).
-run exp_warp_adaptive 2400 python scripts/exp_warp_adaptive.py
-# 3. Fresh full config sweep (stamps measured_at; saves after each entry).
-run bench_all      10800 python bench.py --config all
-# 4. Headline (re-measures rife, drops stale breakdown entries).
+# 1. Packed-conv rate + packed GridNet lattice timing (gates whether the
+#    column-packed L0 becomes the gmfss/union default).
+run exp_conv_packed 3600 python scripts/exp_conv_packed.py
+# 2. gmfss + union re-bench (the packed lattice targets these two).
+run bench_gmfss    3600 python bench.py --config gmfss
+run bench_union    3600 python bench.py --config gmfss_union
+# 3. Headline (re-measures rife, drops stale breakdown entries).
 run bench_headline 1800 python bench.py
 touch "$OUT/DONE"
 echo "[watcher] battery complete $(date -u +%FT%TZ)" >>"$OUT/probe.log"

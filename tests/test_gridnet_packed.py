@@ -30,3 +30,7 @@ def test_gridnet_packed_matches_plain(union):
     got = gridnet_apply_packed(p, x, x1, x2, x3, union=union)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # the conv_backend="packed" dispatch routes to the same implementation
+    via_backend = gridnet_apply(p, x, x1, x2, x3, union=union,
+                                conv_backend="packed")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(via_backend))
