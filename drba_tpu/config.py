@@ -36,12 +36,15 @@ class Config:
       conv_backend: conv-chain implementation for the large-spatial /
         small-channel conv blocks (GridNet L0 seq blocks, IFNet ResConv
         chains): 'auto' | 'xla' | 'pallas' | 'packed'. 'auto' picks the
-        fused Pallas conv-chain kernel (ops/conv_chain.py) on TPU for
-        supported shapes and plain XLA convs otherwise. Numerics match
-        XLA's bf16 conv chain to rounding (see tests/test_conv_chain.py).
-        'packed' runs the GridNet L0 row column-packed via exact weight
-        rearrangements (ops/conv_packed.py, XLA-only) — measured TPU
-        timing pending (scripts/exp_conv_packed.py).
+        measured-fastest backend per site on TPU (round-4 timings,
+        scripts/exp_conv_packed.py): column-packed XLA convs
+        (ops/conv_packed.py, exact weight rearrangements) for the GridNet
+        lattice and MetricNet, fused Pallas conv chains
+        (ops/conv_chain.py) for the IFNet ResConv runs, plain XLA
+        elsewhere — and plain XLA for everything on CPU. 'packed' /
+        'pallas' force those paths where shapes allow; 'xla' forces plain
+        convs. Numerics match XLA's bf16 convs to rounding
+        (tests/test_conv_packed.py, tests/test_conv_chain.py).
       drm_splat_scale: resolution scale of the DRM alignment splats on the
         RIFE path (drm.py:_splat_avg_scaled). DRM maps are smooth ratio
         fields, so 0.5 (default) splats at half resolution — 4x fewer pixels

@@ -170,7 +170,7 @@ def metricnet_apply(p: Params, img0, img1, flow01, flow10, union: bool = False,
         steps.append(ChainStep(w=w_out, b=b_out,
                                pre_alpha=p["metric_out.0.weight"]))
         out = conv_chain(xp, steps)[..., :2]
-    elif conv_backend == "packed" and x.shape[2] % 2 == 0:
+    elif _use_packed(conv_backend, x.shape[1], x.shape[2]):
         # all five 64ch convs column-packed (ops/conv_packed.py): same math,
         # 2x the MACs at the measured-fast 128-lane XLA rate, one relayout
         # pair at the net boundary; scalar PReLUs are layout-blind
@@ -326,6 +326,22 @@ def _seq_block(p: Params, prefix, x, stride=1, transpose=False):
     return conv2d(p, f"{prefix}.3", prelu(p, f"{prefix}.2", y), stride=1, padding=1)
 
 
+def _use_packed(conv_backend: str, h: int, w: int) -> bool:
+    """Whether the column-packed XLA path (ops/conv_packed.py) applies.
+
+    Measured on TPU (scripts/exp_conv_packed.py, round 4): the packed
+    GridNet lattice runs 91.9 ms vs 107.1 plain-XLA / 109.9 chain at the
+    production (3,544,960) gmfss window, and packed MetricNet 114.8 vs
+    122.3 — so 'auto' resolves to packed for both on TPU. CPU keeps the
+    plain lattice (the pack relayout is free only under XLA:TPU's tiled
+    layouts; CPU tests compare backends explicitly)."""
+    if h % 2 or w % 2:
+        return False
+    if conv_backend == "packed":
+        return True
+    return conv_backend == "auto" and jax.default_backend() != "cpu"
+
+
 def _use_conv_chain(conv_backend: str, h: int, w: int) -> bool:
     """Whether the fused Pallas conv-chain kernel handles the L0 blocks.
 
@@ -451,7 +467,7 @@ def _gridnet_fused(p: Params, x, x1, x2, x3, union: bool):
 def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False,
                   conv_backend: str = "auto"):
     """GridNet lattice (model_gmfss/FusionNet.py:106-145)."""
-    if conv_backend == "packed" and x.shape[2] % 2 == 0 and x.shape[1] % 2 == 0:
+    if _use_packed(conv_backend, x.shape[1], x.shape[2]):
         from drba_tpu.models.gridnet_packed import gridnet_apply_packed
 
         return gridnet_apply_packed(p, x, x1, x2, x3, union=union)
