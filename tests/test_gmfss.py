@@ -161,7 +161,8 @@ def test_reuse_wiring_parity(torch_model, params, monkeypatch, scale):
         )
 
 
-def test_inference_parity(torch_model, params):
+@pytest.mark.parametrize("conv_backend", ["auto", "packed"])
+def test_inference_parity(torch_model, params, conv_backend):
     img0, img1 = _frames()
     with torch.inference_mode():
         t_reuse = torch_model.reuse(_tc(img0), _tc(img1), 1.0)
@@ -176,7 +177,8 @@ def test_inference_parity(torch_model, params):
         feat0=tuple(jnp.asarray(_fc(f)) for f in t_reuse[4]),
         feat1=tuple(jnp.asarray(_fc(f)) for f in t_reuse[5]),
     )
-    got = gmfss_inference(params, jnp.asarray(img0), jnp.asarray(img1), reuse, 0.5, 0.5)
+    got = gmfss_inference(params, jnp.asarray(img0), jnp.asarray(img1), reuse,
+                          0.5, 0.5, conv_backend=conv_backend)
     np.testing.assert_allclose(np.asarray(got), _fc(want), rtol=0, atol=2e-2)
 
 
