@@ -22,7 +22,7 @@ import numpy as np
 
 from drba_tpu.config import DEFAULT
 from drba_tpu.models.gmfss import GMFSS, _drba_window
-from drba_tpu.models.gmfss_core import gmfss_inference, gmfss_reuse, _warp_pyramid
+from drba_tpu.models.gmfss_core import gmfss_inference, gmfss_reuse, _warp_pyramid2
 from drba_tpu.models.gmfss_nets import (
     featurenet_apply,
     gridnet_apply,
@@ -61,22 +61,27 @@ def main():
     I2 = jnp.asarray(np.roll(base, 16, axis=2), dt)
     ts = jnp.asarray([0.5, 0.9, 1.3], jnp.float32)
 
-    reuse_fn = jax.jit(functools.partial(gmfss_reuse, scale=1.0, union=False))
+    cb = DEFAULT.conv_backend
+    reuse_fn = jax.jit(functools.partial(
+        gmfss_reuse, scale=1.0, union=False, conv_backend=cb))
     r10 = timeit("reuse (featx2+gmflow+metric)", reuse_fn, p, I1, I0)
     r12 = reuse_fn(p, I1, I2)
 
     # reuse sub-stages
-    feat_fn = jax.jit(featurenet_apply)
+    feat_fn = jax.jit(functools.partial(featurenet_apply, conv_backend=cb))
     timeit("  featurenet (one img)", feat_fn, p.feat_ext, I1)
     I1h = scale_by(I1, 0.5)
     I0h = scale_by(I0, 0.5)
     gm_fn = jax.jit(functools.partial(gmflow_apply, pred_bidir=True))
     timeit("  gmflow bidir (half-res)", gm_fn, p.flownet, I1h, I0h)
-    met_fn = jax.jit(functools.partial(metricnet_apply, union=False))
+    met_fn = jax.jit(functools.partial(
+        metricnet_apply, union=False, conv_backend=cb))
     timeit("  metricnet", met_fn, p.metricnet, I1h, I0h, r10.flow01, r10.flow10)
 
-    # window total
-    win_fn = functools.partial(_drba_window, linear=True, backend="auto")
+    # window total (production defaults: half-res DRM splats, packed convs)
+    win_fn = functools.partial(
+        _drba_window, linear=True, backend="auto",
+        drm_splat_scale=DEFAULT.drm_splat_scale, conv_backend=cb)
     timeit("window T=3 (full)", win_fn, p, I0, I1, I2, ts, r10, r12, n=3)
 
     # drm batched over 3 ts (folded batch, not vmap)
@@ -86,20 +91,28 @@ def main():
                               r12.metric0, linear=True, backend="auto")
     timeit("calc_drm_gmfss batched T=3", jax.jit(drm_fn), ts)
 
-    # one warp pyramid, T=3 folded into the batch axis (explicit batching,
-    # matching the window program — the Pallas splat must not be vmapped)
+    # the splat pyramid, BOTH directions x T=3 folded into the batch axis
+    # (explicit batching, matching the window program — the Pallas splat
+    # must not be vmapped)
     scales = jnp.asarray([0.4, 0.6, 0.8], dt)[:, None, None, None]
     t0m = jnp.full((1, H // 2, W // 2, 1), 0.5, dt) * scales  # (3, h2, w2, 1)
     I1h3 = jnp.broadcast_to(I1h, (3,) + I1h.shape[1:])
+    I0h3 = jnp.broadcast_to(I0h, (3,) + I0h.shape[1:])
     feat3 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (3,) + x.shape[1:]), r10.feat0
+    )
+    feat3b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (3,) + x.shape[1:]), r10.feat1
     )
 
     def wp():
         F1t = t0m * r10.flow01
+        F2t = t0m * r10.flow10
         Z1t = t0m * r10.metric0
-        return _warp_pyramid(I1h3, feat3, F1t, Z1t, backend="auto")[0]
-    timeit("warp_pyramid x3ts (one side)", jax.jit(wp))
+        Z2t = t0m * r10.metric1
+        return _warp_pyramid2(I1h3, I0h3, feat3, feat3b, F1t, F2t, Z1t, Z2t,
+                              backend="auto")[0][0]
+    timeit("warp_pyramid2 x3ts (both dirs)", jax.jit(wp))
 
     # gridnet x3 (batched; arrays passed as args so the compile request
     # doesn't inline them as constants)
@@ -108,8 +121,7 @@ def main():
         x1 = jnp.concatenate([f1, f1], axis=-1)
         x2 = jnp.concatenate([f2, f2], axis=-1)
         x3 = jnp.concatenate([f3, f3], axis=-1)
-        return gridnet_apply(fusion, x, x1, x2, x3)
-    I0h3 = jnp.broadcast_to(I0h, I1h3.shape)
+        return gridnet_apply(fusion, x, x1, x2, x3, conv_backend=cb)
     timeit("gridnet x3ts", jax.jit(gn), p.fusionnet, I1h3, I0h3, scales,
            feat3[0], feat3[1], feat3[2])
 

@@ -75,10 +75,17 @@ def main():
         ifnet_apply, scale_list=model.scale_list, warp_backend="auto"))
     timeit("ifnet T=3 (MXU warps)", if_mxu, p, I1b, IBb, tmap,
            f0=f1b, f1=fBb, n=3)
-    if_gather = jax.jit(functools.partial(
-        ifnet_apply, scale_list=model.scale_list, warp_backend="gather"))
-    timeit("ifnet T=3 (gather warps)", if_gather, p, I1b, IBb, tmap,
-           f0=f1b, f1=fBb, n=3)
+    # The gather-warp comparison leg compile-OOMs at 1080p T=3 (the
+    # dense-layout gather fallback materializes ~16 GB of padded layouts);
+    # keep it opt-in so one failing leg can't kill the whole profile.
+    if os.environ.get("DRBA_PROFILE_GATHER", "0") == "1":
+        if_gather = jax.jit(functools.partial(
+            ifnet_apply, scale_list=model.scale_list, warp_backend="gather"))
+        try:
+            timeit("ifnet T=3 (gather warps)", if_gather, p, I1b, IBb, tmap,
+                   f0=f1b, f1=fBb, n=3)
+        except Exception as e:  # noqa: BLE001 - comparison leg only
+            print(f"ifnet T=3 (gather warps)  FAILED: {type(e).__name__}")
 
     # isolated full-res MXU warp pair at window shapes (T=3 both dirs: B=6)
     img19 = jnp.asarray(rng.uniform(0, 1, (6, H, W, 19)), dt)
