@@ -359,12 +359,79 @@ def _transformer_layer(p: Params, base: str, source, target, num_splits: int,
     return source + message
 
 
+def _fused_layer_on(h: int, w: int, attn_splits: int, c: int) -> bool:
+    """Gate for the whole-layer fused kernel (ops/attn_layer.py): production
+    TPU only, window geometry must fit the one-step-per-window plan, and
+    ``DRBA_DISABLE_FUSED_LAYER=1`` is the operational kill switch."""
+    import os
+
+    from drba_tpu.ops.attn_layer import layer_mxu_supported
+
+    if os.environ.get("DRBA_DISABLE_FUSED_LAYER"):
+        return False
+    return (_fused_attention_on() and attn_splits > 1
+            and layer_mxu_supported(h, w, attn_splits, c))
+
+
+def _transformer_apply_fused(p: Params, concat0, attn_splits: int):
+    """6 layer pairs as 12 single-kernel invocations (ops/attn_layer.py).
+
+    The cross-attention target (the reference's ``concat1``,
+    transformer.py:291-300) is read via the kernel's batch-half-swap index
+    map, so the per-layer swap concatenate disappears; shifted layers roll
+    the map once before the self/cross pair and once after (the projections
+    and norms are per-token, so pre-projection rolling is equivalent)."""
+    from drba_tpu.ops.attn_layer import transformer_layer_mxu
+
+    b2, h, w, c = concat0.shape
+    k = attn_splits
+    sh, sw = (h // k) // 2, (w // k) // 2
+    lab = _shift_region_labels(h, w, k).reshape(k * k, h // k, w // k)
+
+    def wcat(base, names):
+        return jnp.concatenate([p[f"{base}.{n}.weight"] for n in names], axis=1)
+
+    x = concat0
+    for i in range(NUM_LAYERS):
+        with_shift = i % 2 == 1
+        if with_shift:
+            x = jnp.roll(x, (-sh, -sw), axis=(1, 2))
+        # the cross layer attends to the swap of the state BEFORE this
+        # block's self-attention (the reference updates concat1 once per
+        # block, transformer.py:291-300)
+        x_pre = x
+        for attn, cross in (("self_attn", False), ("cross_attn_ffn", True)):
+            base = f"transformer.layers.{i}.{attn}"
+            ffn = None
+            if cross:
+                ffn = (p[f"{base}.mlp.0.weight"], p[f"{base}.mlp.2.weight"],
+                       p[f"{base}.norm2.weight"], p[f"{base}.norm2.bias"])
+            x = transformer_layer_mxu(
+                x,
+                wcat(base, ("q_proj", "k_proj", "v_proj")),
+                p[f"{base}.merge.weight"],
+                (p[f"{base}.norm1.weight"], p[f"{base}.norm1.bias"]),
+                k,
+                labels=lab if with_shift else None,
+                with_mask=with_shift,
+                cross_swap=cross,
+                target=x_pre if cross else None,
+                ffn=ffn,
+            )
+        if with_shift:
+            x = jnp.roll(x, (sh, sw), axis=(1, 2))
+    half = b2 // 2
+    return x[:half], x[half:]
+
+
 def transformer_apply(p: Params, feature0, feature1, attn_splits: int):
     """FeatureTransformer (transformer.py:244-322): 6 blocks of
     self-attn + cross-attn(ffn), both directions batched together."""
     concat0 = jnp.concatenate([feature0, feature1], axis=0)  # (2B,H,W,C)
+    b2, h, w, c = concat0.shape
+    if _fused_layer_on(h, w, attn_splits, c):
+        return _transformer_apply_fused(p, concat0, attn_splits)
     concat1 = jnp.concatenate([feature1, feature0], axis=0)
-    b2 = concat0.shape[0]
     for i in range(NUM_LAYERS):
         with_shift = attn_splits > 1 and i % 2 == 1
         concat0 = _transformer_layer(

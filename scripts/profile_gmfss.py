@@ -105,14 +105,17 @@ def main():
         lambda x: jnp.broadcast_to(x, (3,) + x.shape[1:]), r10.feat1
     )
 
-    def wp():
-        F1t = t0m * r10.flow01
-        F2t = t0m * r10.flow10
-        Z1t = t0m * r10.metric0
-        Z2t = t0m * r10.metric1
+    # arrays passed as ARGS so the compile request doesn't inline them as
+    # constants (a closure here overflows the remote-compile body limit)
+    def wp(I1h3, I0h3, feat3, feat3b, t0m, f01, f10, m0, m1):
+        F1t = t0m * f01
+        F2t = t0m * f10
+        Z1t = t0m * m0
+        Z2t = t0m * m1
         return _warp_pyramid2(I1h3, I0h3, feat3, feat3b, F1t, F2t, Z1t, Z2t,
                               backend="auto")[0][0]
-    timeit("warp_pyramid2 x3ts (both dirs)", jax.jit(wp))
+    timeit("warp_pyramid2 x3ts (both dirs)", jax.jit(wp), I1h3, I0h3, feat3,
+           feat3b, t0m, r10.flow01, r10.flow10, r10.metric0, r10.metric1)
 
     # gridnet x3 (batched; arrays passed as args so the compile request
     # doesn't inline them as constants)
