@@ -360,14 +360,17 @@ def _transformer_layer(p: Params, base: str, source, target, num_splits: int,
 
 
 def _fused_layer_on(h: int, w: int, attn_splits: int, c: int) -> bool:
-    """Gate for the whole-layer fused kernel (ops/attn_layer.py): production
-    TPU only, window geometry must fit the one-step-per-window plan, and
-    ``DRBA_DISABLE_FUSED_LAYER=1`` is the operational kill switch."""
+    """Gate for the whole-layer fused kernel (ops/attn_layer.py): OPT-IN via
+    ``DRBA_ENABLE_FUSED_LAYER=1`` until a real-TPU run validates lowering AND
+    a timing win (CLAUDE.md round-4 rule: new Pallas kernels are presumed
+    broken/slower until a TPU run proves otherwise — the round-4 version
+    shipped default-ON with an erfc that Mosaic cannot lower,
+    .tpu_results/exp_attn_layer.log)."""
     import os
 
     from drba_tpu.ops.attn_layer import layer_mxu_supported
 
-    if os.environ.get("DRBA_DISABLE_FUSED_LAYER"):
+    if not os.environ.get("DRBA_ENABLE_FUSED_LAYER"):
         return False
     return (_fused_attention_on() and attn_splits > 1
             and layer_mxu_supported(h, w, attn_splits, c))

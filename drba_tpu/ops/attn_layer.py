@@ -56,6 +56,49 @@ def layer_mxu_supported(h: int, w: int, k_splits: int, c: int) -> bool:
     )
 
 
+def _erfc_f32(x):
+    """XLA's own erfc(f32) expansion (Cephes), restated with primitives that
+    Mosaic CAN lower (mul/add/div/exp/abs/select) — ``lax.erfc`` itself hits
+    "Unimplemented primitive ... erfc" in Pallas TPU (round-4 failure,
+    .tpu_results/exp_attn_layer.log). Same Horner coefficient sequence and
+    select structure as the optimized-HLO expansion of ``lax.erfc``, so the
+    fused path computes the same f32 values as the unfused one
+    (tests/test_attn_layer.py pins bf16 bit-parity exhaustively)."""
+    w = x * x
+    abs_x = jnp.abs(x)
+    # |x| < 1: 1 - erf(x), erf via a degree-6 polynomial in x^2
+    pe = jnp.float32(7.85386146e-05)
+    for cc in (-0.000801019371, 0.00518832775, -0.0268538129,
+               0.112835854, -0.37612626, 1.12837911):
+        pe = pe * w + jnp.float32(cc)
+    one_minus_erf = 1.0 - x * pe
+    # |x| >= 1: exp(-x^2)/|x| * P(1/x^2), two ranges of P
+    q = 1.0 / w
+    p1 = jnp.float32(0.0232682)
+    for cc in (-0.138703942, 0.368742466, -0.582473278, 0.621000469,
+               -0.494451523, 0.340488, -0.274112701, 0.563825965):
+        p1 = p1 * q + jnp.float32(cc)
+    p2 = jnp.float32(-10.477664)
+    for cc in (12.9772, -7.49551868, 2.92101908, -1.01526523,
+               0.42184633, -0.282076746, 0.564189494):
+        p2 = p2 * q + jnp.float32(cc)
+    pick = jnp.where(abs_x < 2.0, p1, p2)
+    r = jnp.exp(-w) * (1.0 / abs_x) * pick
+    r = jnp.where(-w < -88.7228394, jnp.float32(0.0), r)
+    r = jnp.where(x < 0.0, 2.0 - r, r)
+    return jnp.where(abs_x < 1.0, one_minus_erf, r)
+
+
+def _gelu_exact(x):
+    """``jax.nn.gelu(x, approximate=False)`` == 0.5*x*erfc(-x/sqrt(2)) with
+    the same dtype rounding points as the jax-level formula (bf16 products,
+    f32 erfc core); erfc comes from :func:`_erfc_f32`."""
+    sqrt_half = np.sqrt(0.5).astype(x.dtype)
+    arg = -x * sqrt_half
+    e = _erfc_f32(arg.astype(jnp.float32)).astype(x.dtype)
+    return (x.dtype.type(0.5) * x) * e
+
+
 def _ln(x32, g_ref, b_ref, eps=1e-5):
     """LayerNorm over the lane axis, f32 in/out (models/layers.py:63-69)."""
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -114,8 +157,9 @@ def _kernel(src_ref, tgt_ref, lr_ref, lc_ref, wqkv_ref, wm_ref, g1_ref,
             sl = pl.ds(i * step, step)
             h32 = _dot(s2, w0_ref[:c, sl]) + _dot(msg_b, w0_ref[c:, sl])
             # bf16 between the cast, gelu, and mlp.2 — matches the unfused
-            # path (linear casts its output to x.dtype before gelu)
-            hb = jax.nn.gelu(h32.astype(dt), approximate=False)
+            # path (linear casts its output to x.dtype before gelu); exact
+            # gelu via the in-kernel erfc expansion (lax.erfc cannot lower)
+            hb = _gelu_exact(h32.astype(dt))
             acc = acc + _dot(hb, w2_ref[sl, :])
         out = s2.astype(jnp.float32) + _ln(acc, g2_ref, b2_ref)
     out_ref[0] = out.astype(dt).reshape(src_ref.shape[1:])

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+os.environ["DRBA_ENABLE_FUSED_LAYER"] = "1"  # the path under test is opt-in
+
 import drba_tpu.models.gmflow_net as gm
 from drba_tpu.config import DEFAULT
 from drba_tpu.models.layers import init_from_spec
@@ -89,10 +91,10 @@ def main():
     gmf = jax.jit(functools.partial(gm.gmflow_apply, pred_bidir=True))
     fo = timeit("gmflow bidir half-res FUSED-LAYER", gmf, p, img0, img1)
 
-    os.environ["DRBA_DISABLE_FUSED_LAYER"] = "1"
+    del os.environ["DRBA_ENABLE_FUSED_LAYER"]
     gmf2 = jax.jit(functools.partial(gm.gmflow_apply, pred_bidir=True))
     fr = timeit("gmflow bidir half-res UNFUSED", gmf2, p, img0, img1)
-    del os.environ["DRBA_DISABLE_FUSED_LAYER"]
+    os.environ["DRBA_ENABLE_FUSED_LAYER"] = "1"
     d = float(jnp.max(jnp.abs(fo.astype(jnp.float32) - fr.astype(jnp.float32))))
     print(f"max |flow fused - unfused| = {d:.3e}", flush=True)
 

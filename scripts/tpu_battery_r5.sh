@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-5 TPU measurement battery (VERDICT r4 items 1, 7; run by
+# scripts/tpu_watcher.sh on tunnel recovery, or directly when the TPU is up).
+# Ordered so the cheap lowering checks come first and a hang pinpoints
+# itself; each stage is timeout-bounded and failures don't stop the sweep.
+set -u
+cd /root/repo
+OUT=/root/repo/.tpu_results
+mkdir -p "$OUT"
+export PYTHONPATH=/root/.axon_site
+[ -f "$OUT/axon_env.sh" ] && . "$OUT/axon_env.sh"
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "[battery] running $name $(date -u +%FT%TZ)" >>"$OUT/probe.log"
+  timeout -k 30 "$tmo" "$@" >"$OUT/$name.log" 2>&1
+  echo "[battery] $name rc=$? $(date -u +%FT%TZ)" >>"$OUT/probe.log"
+}
+
+# 1. Fused attn-layer kernel: Mosaic lowering at batch=4 + timing vs unfused
+#    (gates whether DRBA_ENABLE_FUSED_LAYER graduates to default-ON).
+run exp_attn_layer_r5 2400 python scripts/exp_attn_layer.py
+# 2. Per-stage profilers at HEAD (VERDICT r4 weak 6 / next 7).
+run profile_rife_r5  2400 python scripts/profile_rife.py
+run profile_gmfss_r5 2400 python scripts/profile_gmfss.py
+# 3. Full config sweep + headline at HEAD.
+run bench_all_r5     7200 python bench.py --config all
+run bench_headline_r5 1800 python bench.py

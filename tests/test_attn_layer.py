@@ -36,7 +36,7 @@ def test_fused_stack_matches_unfused(monkeypatch, dtype):
     ref0, ref1 = gm.transformer_apply(p, f0, f1, attn_splits=2)
 
     monkeypatch.setattr(gm, "_fused_attention_on", lambda: True)
-    monkeypatch.delenv("DRBA_DISABLE_FUSED_LAYER", raising=False)
+    monkeypatch.setenv("DRBA_ENABLE_FUSED_LAYER", "1")
     out0, out1 = gm.transformer_apply(p, f0, f1, attn_splits=2)
 
     np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0),
@@ -45,7 +45,30 @@ def test_fused_stack_matches_unfused(monkeypatch, dtype):
                                atol=2e-4, rtol=0)
 
 
+def test_gelu_exact_bf16_bitparity():
+    """The in-kernel erfc-free gelu must equal jax.nn.gelu(approximate=False)
+    for EVERY finite bf16 value (the FFN activations are bf16 at that point
+    in both the fused and unfused paths), so the fused kernel is not an
+    approximation at the dtype the model computes in."""
+    import jax
+
+    from drba_tpu.ops.attn_layer import _gelu_exact
+
+    bits = np.arange(65536, dtype=np.uint32)
+    f32 = (bits << 16).view(np.float32)
+    xb = jnp.asarray(f32).astype(jnp.bfloat16)
+    ref = np.asarray(jax.nn.gelu(xb, approximate=False).astype(jnp.float32))
+    got = np.asarray(_gelu_exact(xb).astype(jnp.float32))
+    finite = np.isfinite(f32)
+    same = (ref == got) | (np.isnan(ref) & np.isnan(got))
+    assert (same | ~finite).all(), np.where(finite & ~same)[0][:10]
+
+
 def test_kill_switch(monkeypatch):
+    # opt-in: OFF unless DRBA_ENABLE_FUSED_LAYER=1 (round-4 lesson — the
+    # kernel shipped default-ON with an erfc Mosaic could not lower)
     monkeypatch.setattr(gm, "_fused_attention_on", lambda: True)
-    monkeypatch.setenv("DRBA_DISABLE_FUSED_LAYER", "1")
+    monkeypatch.delenv("DRBA_ENABLE_FUSED_LAYER", raising=False)
     assert not gm._fused_layer_on(136, 240, 8, 128)
+    monkeypatch.setenv("DRBA_ENABLE_FUSED_LAYER", "1")
+    assert gm._fused_layer_on(136, 240, 8, 128)
