@@ -105,13 +105,22 @@ def _kernel(ys_ref, xs_ref, bnd_ref, qx_ref, qy_ref, img_ref, out_ref,
         rrf = jax.lax.broadcasted_iota(jnp.int32, (wh, TW), 0).astype(jnp.float32)
         hw_ = 1.0 + spread
         s_ = 1.0 / (1.0 + 2.0 * spread)
+
+        def tent(d):
+            # plain bilinear (spread 0): 1 - |d| <= 1 always, so the upper
+            # clip is redundant and s_ == 1 — the tent build is the kernel's
+            # VPU cost floor, so skip both passes (exact same values)
+            if spread == 0.0:
+                return jnp.maximum(hw_ - jnp.abs(d), 0.0)
+            return jnp.clip(hw_ - jnp.abs(d), 0.0, 1.0) * s_
+
         for y in range(TH):
             qxy = qx_ref[0, y, :][None, :]
-            bmat = jnp.clip(hw_ - jnp.abs(xxf - qxy), 0.0, 1.0) * s_
+            bmat = tent(xxf - qxy)
             hb = jnp.dot(m, bmat.astype(m.dtype),
                          preferred_element_type=jnp.float32)
             qyy = qy_ref[0, y, :][None, :]
-            a = jnp.clip(hw_ - jnp.abs(rrf - qyy), 0.0, 1.0) * s_
+            a = tent(rrf - qyy)
             out_ref[0, :, y, :] = jnp.sum(
                 hb.reshape(c, wh, TW) * a[None], axis=1
             ).astype(out_ref.dtype)
@@ -187,16 +196,21 @@ def _prep_positions(px, py, h, w, wh, ww, spread=0.0):
     y0 = jnp.minimum(jnp.floor(py), h - 2).astype(jnp.int32)
 
     # Mosaic requires provably aligned dynamic slice starts: quantize window
-    # starts to 8 rows / 128 lanes (the clamp keeps them in range, and the
-    # flooring is absorbed by the window margins).
+    # starts to 8 rows / 128 lanes. Anchor rule: the LARGEST quantized start
+    # <= the tile's min source coord. The tile is covered iff some quantized
+    # start xs satisfies hi+2-ww <= xs <= lo (feasibility is upward-closed
+    # at lo), so floor(lo) is feasible whenever ANY start is — optimal among
+    # quantized rules. (The centered rule floor128(mid - ww/2) it replaces
+    # wasted up to 127 px of margin on the empty side; with floor(lo) the
+    # guaranteed span is ww-130 .. ww-2 depending on lo mod 128, vs a flat
+    # ww-130 centered — exp_warp_narrow.log proves the HBM-side slice really
+    # does require 128-multiples, so this is the best start rule available.)
     xt = x0.reshape(bsz, nty, TH, ntx, TW)
     xmin = xt.min(axis=(2, 4))
-    xmax = xt.max(axis=(2, 4))
-    xs = jnp.clip((xmin + xmax) // 2 - ww // 2, 0, w - ww) // 128 * 128
+    xs = jnp.clip(xmin // 128 * 128, 0, w - ww)
     yt = y0.reshape(bsz, nty, TH, ntx, TW)
     ymin = yt.min(axis=(2, 4))
-    ymax = yt.max(axis=(2, 4))
-    ys = jnp.clip((ymin + ymax) // 2 - (wh - 2) // 2, 0, h - wh) // 8 * 8
+    ys = jnp.clip(ymin // 8 * 8, 0, h - wh)
 
     xs_b = jnp.repeat(jnp.repeat(xs, TH, axis=1), TW, axis=2)
     ys_b = jnp.repeat(jnp.repeat(ys, TH, axis=1), TW, axis=2)
@@ -301,13 +315,15 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -
     window when the flow allows it was tried and reverted — the cond's
     operand materialization costs ~5 ms per call, eating most of the ~20%
     narrow-matmul saving and LOSING throughput whenever the wide path runs.
-    ww=384 is also STRUCTURALLY minimal: a zero-divergence tile spans 128
-    cols + 3 tent taps = 131, and the 128-quantized window start needs a
-    multiple inside a (ww - 131)-wide feasible interval — guaranteed only
-    when ww - 131 >= 127, i.e. ww >= 258 -> 384. (Same algebra pins wh=32:
-    10-row span + 7 for the 8-row quantization > 16.) Any narrower window
-    clips zero-motion tiles, which is why the ww=256 sweep lost >= 5%
-    coverage (docs/ROADMAP.md round-3 findings).
+    With the floor(min)-anchored start rule (see _prep_positions), coverage
+    at width ww is guaranteed for source spans up to ww-130 and holds
+    opportunistically up to ww-2 when the span lands well against the
+    128-grid: ww=384 guarantees 254 px of intra-tile spread; ww=256
+    guarantees 126 — that covers a zero-motion tile (span 129) for 127/128
+    of start phases, so (32, 256) is a near-full-coverage EXPERIMENTAL
+    geometry (scripts/exp_warp_r5.py), not the default. (The round-3 ww=256
+    sweep that lost >= 5% coverage used the old centered-floor anchor;
+    its algebra wasted up to 127 px of margin.)
     """
     _, h, w, _ = img.shape
     gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]

@@ -20,6 +20,9 @@ run() {  # run <name> <timeout_s> <cmd...>
 # 1. Fused attn-layer kernel: Mosaic lowering at batch=4 + timing vs unfused
 #    (gates whether DRBA_ENABLE_FUSED_LAYER graduates to default-ON).
 run exp_attn_layer_r5 2400 python scripts/exp_attn_layer.py
+# 1b. Warp geometry sweep: floor(min)-anchored narrow windows (VERDICT r4
+#     next 2) — coverage + deviation + hot-shape timing per variant.
+run exp_warp_r5 5400 python scripts/exp_warp_r5.py
 # 2. Per-stage profilers at HEAD (VERDICT r4 weak 6 / next 7).
 run profile_rife_r5  2400 python scripts/profile_rife.py
 run profile_gmfss_r5 2400 python scripts/profile_gmfss.py
