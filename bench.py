@@ -223,6 +223,70 @@ def gate_composed(h=1088, w=1920):
     return out
 
 
+def _make_clip(path, h, w, n_frames, fps=24, shift=6):
+    """Synthesize a pan clip (rolled noise base, like _frames) with cv2."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (h, w, 3), np.uint8)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter failed for {path}")
+    for i in range(n_frames):
+        vw.write(np.roll(base, shift * i, axis=1))
+    vw.release()
+
+
+def bench_e2e(model_name="rife", h=1080, w=1920, n_frames=96,
+              dst_fps=60, scdet=True):
+    """BASELINE config 5's real unit of work (VERDICT r4 item 5): the actual
+    CLI over a generated 1080p clip — threaded decode, scene detection,
+    window compute, pipelined ffmpeg encode + mux — run as a fresh
+    subprocess (matching the reference's process shape, infer.py:58-174).
+    A warm run over a short clip populates .jax_cache first so the measured
+    run prices steady-state delivery, not compilation. fps counts OUTPUT
+    frames against run_pipeline's own wall clock (decode->encode inclusive,
+    model/backend init excluded); the --profile stage breakdown rides along.
+    """
+    import re
+    import subprocess
+    import sys
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="drba_e2e_")
+    clip_warm = os.path.join(tmp, "warm.mp4")
+    clip = os.path.join(tmp, "in.mp4")
+    _make_clip(clip_warm, h, w, 8)
+    _make_clip(clip, h, w, n_frames)
+
+    def cli(inp, outp):
+        cmd = [sys.executable, "-m", "drba_tpu.cli", "-m", model_name,
+               "-i", inp, "-o", outp, "-fps", str(dst_fps), "--profile"]
+        if scdet:
+            cmd += ["-s"]
+        return subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    r = cli(clip_warm, os.path.join(tmp, "warm_out.mp4"))
+    if r.returncode != 0:
+        raise RuntimeError(f"warm CLI run failed:\n{r.stdout[-800:]}\n{r.stderr[-800:]}")
+    r = cli(clip, os.path.join(tmp, "out.mp4"))
+    if r.returncode != 0:
+        raise RuntimeError(f"CLI run failed:\n{r.stdout[-800:]}\n{r.stderr[-800:]}")
+    m = re.search(r"done: (\d+) frames in, (\d+) frames out, (\d+) windows,"
+                  r" (\d+) scene cuts, ([0-9.]+)s", r.stdout)
+    if not m:
+        raise RuntimeError(f"no done-line in CLI output:\n{r.stdout[-800:]}")
+    frames_out, wall = int(m.group(2)), float(m.group(5))
+    stages = {}
+    for name, tot in re.findall(r"^\s+(\S+)\s+([0-9.]+)s total", r.stdout,
+                                re.MULTILINE):
+        stages[name] = float(tot)
+    return {"fps": round(frames_out / wall, 3), "frames_out": frames_out,
+            "wall_s": wall, "stages_s": stages}
+
+
 def bench_gmfss(cls_name="gmfss", h=1088, w=1920, scale=1.0, n_windows=12):
     from drba_tpu.config import DEFAULT
 
@@ -262,6 +326,12 @@ CONFIGS = {
                     lambda: bench_motion("gmfss_union", 40.0)),
     "gate": ("composed fast path vs exact, min frame SSIM (>= 0.995 gate)",
              gate_composed),
+    # the REAL pipeline: CLI subprocess over a generated 1080p clip
+    # (decode + scdet + compute + pipelined encode), BASELINE config 5
+    "e2e": ("rife 1080p 24->60 FULL CLI pipeline (decode+scdet+encode)",
+            lambda: bench_e2e("rife")),
+    "e2e_gmfss": ("gmfss 1080p 24->60 FULL CLI pipeline",
+                  lambda: bench_e2e("gmfss")),
 }
 
 
@@ -293,7 +363,11 @@ def main():
                 print(f"{label}: FAILED ({type(e).__name__})")
                 failed.append(name)
             else:
-                if isinstance(val, dict):
+                if isinstance(val, dict) and "fps" in val:
+                    entry.update(val)
+                    print(f"{label}: {val['fps']:.3f} output frames/sec "
+                          f"(wall {val.get('wall_s')}s)")
+                elif isinstance(val, dict):
                     entry["ssim"] = val
                     print(f"{label}: {val}")
                 else:

@@ -12,6 +12,15 @@ import os
 
 from tqdm import tqdm
 
+# The axon sitecustomize pins JAX_PLATFORMS=axon at interpreter startup, so
+# the env var alone can't retarget a CLI subprocess; honor an explicit
+# platform override through the config API before backend init (used by
+# bench.py's e2e smoke path and CPU debugging).
+if os.environ.get("DRBA_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["DRBA_PLATFORM"])
+
 import jax.numpy as jnp
 
 from drba_tpu.config import Config
@@ -153,9 +162,10 @@ def main(argv=None):
             skip_outputs=skip_outputs,
         )
     pbar.close()
+    wall = f", {stats.wall_s:.2f}s" if getattr(stats, "wall_s", 0) else ""
     print(
         f"done: {stats.frames_in} frames in, {stats.frames_out} frames out, "
-        f"{stats.windows} windows, {stats.scene_cuts} scene cuts"
+        f"{stats.windows} windows, {stats.scene_cuts} scene cuts{wall}"
     )
     if getattr(stats, "stage_report", None):
         print(stats.stage_report)

@@ -19,6 +19,7 @@ import collections
 import contextlib
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -208,6 +209,7 @@ class PipelineStats:
     windows: int = 0
     scene_cuts: int = 0
     stage_report: Optional[str] = None
+    wall_s: float = 0.0  # run_pipeline wall time (decode->compute->encode)
 
 
 def run_pipeline(
@@ -232,6 +234,7 @@ def run_pipeline(
     compute), the boundary window recomputes and emits only its tail.
     """
     stats = PipelineStats()
+    _t_start = time.perf_counter()
     st = StageTimes() if profile else None
     plan_pos = 0  # output frames planned so far (skipped + emitted)
     src_fps, dst_fps = video_io.src_fps, video_io.dst_fps
@@ -371,6 +374,7 @@ def run_pipeline(
     with stage("finish"):
         emitter.finish()
         video_io.finish_writing()
+    stats.wall_s = time.perf_counter() - _t_start
     if st is not None:
         stats.stage_report = st.report()
     return stats

@@ -26,6 +26,7 @@ run exp_warp_r5 5400 python scripts/exp_warp_r5.py
 # 2. Per-stage profilers at HEAD (VERDICT r4 weak 6 / next 7).
 run profile_rife_r5  2400 python scripts/profile_rife.py
 run profile_gmfss_r5 2400 python scripts/profile_gmfss.py
-# 3. Full config sweep + headline at HEAD.
-run bench_all_r5     7200 python bench.py --config all
+# 3. Full config sweep + headline at HEAD (includes the new e2e CLI
+#    pipeline configs, VERDICT r4 item 5).
+run bench_all_r5     10800 python bench.py --config all
 run bench_headline_r5 1800 python bench.py
