@@ -23,6 +23,9 @@ run exp_attn_layer_r5 2400 python scripts/exp_attn_layer.py
 # 1b. Warp geometry sweep: floor(min)-anchored narrow windows (VERDICT r4
 #     next 2) — coverage + deviation + hot-shape timing per variant.
 run exp_warp_r5 5400 python scripts/exp_warp_r5.py
+# 1c. Production-resolution torch-oracle parity of the DEFAULT fast path
+#     (VERDICT r4 item 6): SSIM >= 0.995 per frame at >= 576x960.
+run exp_oracle_prod 5400 python scripts/exp_oracle_prod.py
 # 2. Per-stage profilers at HEAD (VERDICT r4 weak 6 / next 7).
 run profile_rife_r5  2400 python scripts/profile_rife.py
 run profile_gmfss_r5 2400 python scripts/profile_gmfss.py
