@@ -466,11 +466,19 @@ def _gridnet_fused(p: Params, x, x1, x2, x3, union: bool):
 
 def gridnet_apply(p: Params, x, x1, x2, x3, union: bool = False,
                   conv_backend: str = "auto"):
-    """GridNet lattice (model_gmfss/FusionNet.py:106-145)."""
-    if _use_packed(conv_backend, x.shape[1], x.shape[2]):
+    """GridNet lattice (model_gmfss/FusionNet.py:106-145).
+
+    ``conv_backend='packed_chain'``: the packed lattice with the pure-64ch
+    L0 seq blocks fused into single Pallas chain invocations (the round-5
+    hybrid, gridnet_packed.gridnet_apply_packed(seq_chain=True)) — opt-in
+    until a real-TPU run beats the packed lattice (scripts/exp_gridnet_r5.py).
+    """
+    if conv_backend == "packed_chain" or _use_packed(
+            conv_backend, x.shape[1], x.shape[2]):
         from drba_tpu.models.gridnet_packed import gridnet_apply_packed
 
-        return gridnet_apply_packed(p, x, x1, x2, x3, union=union)
+        return gridnet_apply_packed(p, x, x1, x2, x3, union=union,
+                                    seq_chain=conv_backend == "packed_chain")
     if _use_conv_chain(conv_backend, x.shape[1], x.shape[2]):
         return _gridnet_fused(p, x, x1, x2, x3, union)
     head0 = "residual_model_head0" if union else "residual_model_head"

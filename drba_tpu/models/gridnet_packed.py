@@ -77,14 +77,51 @@ def _seq_block(p: Params, prefix, x, stride=1, transpose=False):
                   padding=1)
 
 
-def gridnet_apply_packed(p: Params, x, x1, x2, x3, union: bool = False):
-    """gridnet_apply with the L0 row column-packed. Requires even W."""
+def _chain_step(p: Params, prefix: str, i: int):
+    """ChainStep for conv ``{prefix}.{i}`` with pre-PReLU ``{prefix}.{i-1}``."""
+    from drba_tpu.ops.conv_chain import ChainStep
+
+    return ChainStep(w=p[f"{prefix}.{i}.weight"], b=p[f"{prefix}.{i}.bias"],
+                     pre_alpha=p.get(f"{prefix}.{i - 1}.weight"))
+
+
+def gridnet_apply_packed(p: Params, x, x1, x2, x3, union: bool = False,
+                         seq_chain: bool = False):
+    """gridnet_apply with the L0 row column-packed. Requires even W.
+
+    ``seq_chain``: route the pure-64ch L0 residual blocks (01/04/05 + the
+    upsample tails + the tail head) through ONE fused Pallas conv-chain
+    invocation each (ops/conv_chain.py, packed layout shared with this
+    lattice) instead of per-conv packed XLA convs — the round-5 hybrid:
+    VMEM-resident seq-block interiors + fused residual epilogues where the
+    round-4 full-chain lattice lost to relayouts/L1 chains
+    (docs/ROADMAP.md; VERDICT r4 item 3). Exactness vs gridnet_apply pinned
+    by tests/test_gridnet_packed.py. Must NOT be vmapped when seq_chain.
+    """
+    from drba_tpu.ops.conv_chain import conv_chain
+
     head0 = "residual_model_head0" if union else "residual_model_head"
     xp = pack_cols(x, 2)
     x1p = pack_cols(x1, 2)
+
+    def seq64(prefix, src, residual="none", res=None):
+        # 64->64->64 seq block; one kernel invocation when seq_chain
+        if seq_chain:
+            return conv_chain(
+                src, [_chain_step(p, prefix, 1), _chain_step(p, prefix, 3)],
+                residual=residual, res=res, packed=True)
+        y = _seq_packed(p, prefix, src)
+        if residual == "input":
+            return y + src
+        if residual == "extra":
+            return y + res
+        return y
+
+    # heads keep per-conv packed XLA: their lead convs are narrow
+    # (9/128-ch inputs) and a chain would pad them to 64ch FLOPs
     X00p = _seq_packed(p, head0, xp) + _seq_packed(p, "residual_model_head1",
                                                    x1p)
-    X01p = _seq_packed(p, "residual_model_01", X00p) + X00p
+    X01p = seq64("residual_model_01", X00p, residual="input")
 
     X10 = _down_from_packed(p, "downsample_model_10", X00p) + _seq_block(
         p, "residual_model_head2", x2
@@ -106,23 +143,47 @@ def gridnet_apply_packed(p: Params, x, x1, x2, x3, union: bool = False):
     X14 = _seq_block(p, "upsample_model_14", X24, transpose=True) + (
         _seq_block(p, "residual_model_14", X11) + X11
     )
-    X04p = _up_to_packed(p, "upsample_model_04", X14) + (
-        _seq_packed(p, "residual_model_04", X01p) + X01p
-    )
+
+    def up_plus(name, src, res):
+        # transposed lead conv -> packed (XLA); trailing conv fused with
+        # the lattice residual sum as a 1-step chain when seq_chain
+        t = convT4_to_packed(_prelu_s(p, f"{name}.0", src),
+                             p[f"{name}.1.weight"], p[f"{name}.1.bias"])
+        if seq_chain:
+            return conv_chain(t, [_chain_step(p, name, 3)],
+                              residual="extra", res=res, packed=True)
+        return conv3_packed(_prelu_s(p, f"{name}.2", t),
+                            p[f"{name}.3.weight"], p[f"{name}.3.bias"]) + res
+
+    R04p = seq64("residual_model_04", X01p, residual="input")
+    X04p = up_plus("upsample_model_04", X14, R04p)
     X15 = _seq_block(p, "upsample_model_15", X25, transpose=True) + (
         _seq_block(p, "residual_model_15", X14) + X14
     )
-    X05p = _up_to_packed(p, "upsample_model_05", X15) + (
-        _seq_packed(p, "residual_model_05", X04p) + X04p
-    )
+    R05p = seq64("residual_model_05", X04p, residual="input")
+    X05p = up_plus("upsample_model_05", X15, R05p)
 
     # PixelShuffleBlcok tail, packed end-to-end: the 256ch pre-shuffle
     # tensor and the folded conv_last (gmfss_nets._tail_out) never unpack
-    t = conv3_packed(xp=X05p, w=p["residual_model_tail.conv_before_upsample.0.weight"],
-                     b=p["residual_model_tail.conv_before_upsample.0.bias"])
-    t = _prelu_s(p, "residual_model_tail.conv_before_upsample.1", t)
-    t = conv3_packed(t, p["residual_model_tail.upsample.0.weight"],
-                     p["residual_model_tail.upsample.0.bias"])
+    if seq_chain:
+        from drba_tpu.ops.conv_chain import ChainStep
+
+        t = conv_chain(X05p, [
+            ChainStep(
+                w=p["residual_model_tail.conv_before_upsample.0.weight"],
+                b=p["residual_model_tail.conv_before_upsample.0.bias"]),
+            ChainStep(
+                w=p["residual_model_tail.upsample.0.weight"],
+                b=p["residual_model_tail.upsample.0.bias"],
+                pre_alpha=p["residual_model_tail.conv_before_upsample.1.weight"]),
+        ], packed=True)
+    else:
+        t = conv3_packed(
+            xp=X05p, w=p["residual_model_tail.conv_before_upsample.0.weight"],
+            b=p["residual_model_tail.conv_before_upsample.0.bias"])
+        t = _prelu_s(p, "residual_model_tail.conv_before_upsample.1", t)
+        t = conv3_packed(t, p["residual_model_tail.upsample.0.weight"],
+                         p["residual_model_tail.upsample.0.bias"])
     w_lo, b_lo = fold_conv_after_shuffle(
         p["residual_model_tail.conv_last.weight"],
         p["residual_model_tail.conv_last.bias"], 2)

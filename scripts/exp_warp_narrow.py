@@ -1,11 +1,21 @@
 """Narrow-window warp kernel probe: unquantized window starts.
 
-The production kernel (ops/warp_mxu.py) quantizes per-tile window starts to
-128 lanes / 8 sublanes, which forces ww=384/wh=32 for guaranteed coverage
-(window must contain a 131-col span wherever the 128-multiple lands). That
-quantization was assumed required by Mosaic for the dynamic-slice starts —
-but the slice feeding the async window DMA is on the HBM-side operand, where
-alignment rules may be looser than for VMEM refs.
+NEGATIVE RESULT (measured 2026-08-20, .tpu_results/exp_warp_narrow.log):
+every xq<128 variant fails Mosaic lowering — "Failed to prove that a tile
+index in dimension 3 is divisible by the tiling (128)" on the HBM-side
+memref_slice feeding the window DMA. HBM slices carry the same (8,128)
+tiled layout as VMEM refs, so lane starts MUST be 128-multiples; do not
+re-attempt sub-128 quantization. The round-5 follow-up that works is the
+ANCHOR change (floor(min) starts, landed in ops/warp_mxu.py) swept by
+scripts/exp_warp_r5.py.
+
+Original hypothesis (falsified): the production kernel quantizes per-tile
+window starts to 128 lanes / 8 sublanes, which forces ww=384/wh=32 for
+guaranteed coverage (window must contain a 131-col span wherever the
+128-multiple lands). That quantization was assumed required by Mosaic for
+the dynamic-slice starts — but the slice feeding the async window DMA is on
+the HBM-side operand, where alignment rules MIGHT have been looser than for
+VMEM refs.
 
 Hypothesis: with starts quantized to q lanes, guaranteed coverage needs
 ww >= 131 + (q-1) + spread_budget. q=1 (or 8/64) admits ww=256 with the SAME

@@ -23,6 +23,9 @@ run exp_attn_layer_r5 2400 python scripts/exp_attn_layer.py
 # 1b. Warp geometry sweep: floor(min)-anchored narrow windows (VERDICT r4
 #     next 2) — coverage + deviation + hot-shape timing per variant.
 run exp_warp_r5 5400 python scripts/exp_warp_r5.py
+# 1b2. GridNet hybrid lattice sweep (VERDICT r4 item 3): packed vs
+#      packed_chain at the production window; target <= 65 ms.
+run exp_gridnet_r5 5400 python scripts/exp_gridnet_r5.py
 # 1c. Production-resolution torch-oracle parity of the DEFAULT fast path
 #     (VERDICT r4 item 6): SSIM >= 0.995 per frame at >= 576x960.
 run exp_oracle_prod 5400 python scripts/exp_oracle_prod.py
