@@ -339,7 +339,10 @@ def _use_packed(conv_backend: str, h: int, w: int) -> bool:
         return False
     if conv_backend == "packed":
         return True
-    return conv_backend == "auto" and jax.default_backend() != "cpu"
+    # 'packed_chain' = the packed defaults with the GridNet lattice's L0
+    # seq blocks chain-fused (gridnet_apply switches on it explicitly)
+    return (conv_backend in ("auto", "packed_chain")
+            and jax.default_backend() != "cpu")
 
 
 def _use_conv_chain(conv_backend: str, h: int, w: int) -> bool:

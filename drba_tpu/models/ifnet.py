@@ -184,7 +184,8 @@ def _use_resconv_chain(conv_backend: str, c: int, w: int) -> bool:
     shapes_ok = (f * cpad) % 128 == 0 and w % f == 0 and (w // f) % 8 == 0
     if conv_backend == "pallas":
         return shapes_ok
-    if conv_backend == "auto":
+    if conv_backend in ("auto", "packed_chain"):  # packed_chain only
+        # retargets the GridNet lattice; IFNet keeps its measured default
         import jax as _jax
 
         return shapes_ok and _jax.default_backend() != "cpu"

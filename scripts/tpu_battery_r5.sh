@@ -29,6 +29,8 @@ run exp_gridnet_r5 5400 python scripts/exp_gridnet_r5.py
 # 1c. Production-resolution torch-oracle parity of the DEFAULT fast path
 #     (VERDICT r4 item 6): SSIM >= 0.995 per frame at >= 576x960.
 run exp_oracle_prod 5400 python scripts/exp_oracle_prod.py
+# 1b3. Union window conv-backend sweep (VERDICT r4 item 8).
+run exp_union_r5 7200 python scripts/exp_union_r5.py
 # 2. Per-stage profilers at HEAD (VERDICT r4 weak 6 / next 7).
 run profile_rife_r5  2400 python scripts/profile_rife.py
 run profile_gmfss_r5 2400 python scripts/profile_gmfss.py
