@@ -407,6 +407,13 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 36.0, 3),
+        # keep both anchors visible (VERDICT r4): the divisor above is the
+        # 36 fps real-time-delivery proxy (reference publishes no numbers,
+        # BASELINE.md); the driver's written bar is >= 2x H100 end-to-end,
+        # for which no measured H100 figure exists in the reference tree —
+        # do NOT read vs_baseline as a fraction of that bar.
+        "baseline_anchor": "36 fps = real-time 1080p 24->60 delivery proxy; "
+                           "driver bar >= 2x H100 e2e (unmeasured upstream)",
         "measured_at": _now_iso(),
     }
     if note:

@@ -372,8 +372,16 @@ def _fused_layer_on(h: int, w: int, attn_splits: int, c: int) -> bool:
 
     if not os.environ.get("DRBA_ENABLE_FUSED_LAYER"):
         return False
+    from drba_tpu.ops.attn_layer import _SCORE_BYTES_WIDE
+
+    # DRBA_FUSED_LAYER_WIDE=1 additionally admits the scale-0 geometry
+    # (Lp=2176, ~38 MB f32 scratch under the raised VMEM ceiling) — its own
+    # switch so the battery can validate the two plans independently
+    budget = (_SCORE_BYTES_WIDE
+              if os.environ.get("DRBA_FUSED_LAYER_WIDE") else None)
+    kw = {} if budget is None else {"score_bytes_max": budget}
     return (_fused_attention_on() and attn_splits > 1
-            and layer_mxu_supported(h, w, attn_splits, c))
+            and layer_mxu_supported(h, w, attn_splits, c, **kw))
 
 
 def _transformer_apply_fused(p: Params, concat0, attn_splits: int):

@@ -35,14 +35,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-# f32 scratch budget for the (Lp, Lp) score block plus FFN temporaries;
-# Mosaic's scoped-vmem stack runs ~2x the raw footprint (docs/ROADMAP.md),
-# so keep raw well under 8 MB.
+# f32 scratch budget for the (Lp, Lp) score block plus FFN temporaries.
+# Mosaic's scoped-vmem stack runs ~2x the raw footprint (docs/ROADMAP.md);
+# the kernel raises the scoped limit to 100 MB (a compiler flag — v5e has
+# 128 MiB physical VMEM; ops/conv_chain.py uses the same escape), so the
+# default budget admits gmflow scale 1 (Lp=544) comfortably and the WIDE
+# budget admits scale 0 (Lp=2176, 2x18.9 MB raw) — the wide plan is gated
+# separately until a real-TPU run proves the 2x stack estimate holds there.
 _SCORE_BYTES_MAX = 4 * 1024 * 1024
+_SCORE_BYTES_WIDE = 40 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def layer_mxu_supported(h: int, w: int, k_splits: int, c: int) -> bool:
+def layer_mxu_supported(h: int, w: int, k_splits: int, c: int,
+                        score_bytes_max: int = _SCORE_BYTES_MAX) -> bool:
     """Whole-window plan feasibility: one grid step per window."""
     wh, ww = h // k_splits, w // k_splits
     wwp = -(-ww // 8) * 8
@@ -52,7 +60,7 @@ def layer_mxu_supported(h: int, w: int, k_splits: int, c: int) -> bool:
         and h % k_splits == 0
         and w % k_splits == 0
         # scores + exp temporaries f32
-        and 2 * lp * lp * 4 <= _SCORE_BYTES_MAX
+        and 2 * lp * lp * 4 <= score_bytes_max
     )
 
 
@@ -262,6 +270,9 @@ def transformer_layer_mxu(
         ],
         out_specs=win,
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=jax.default_backend() == "cpu",
     )(
         xp, tp, lab_col, lab_row,

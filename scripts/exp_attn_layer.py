@@ -98,6 +98,20 @@ def main():
     d = float(jnp.max(jnp.abs(fo.astype(jnp.float32) - fr.astype(jnp.float32))))
     print(f"max |flow fused - unfused| = {d:.3e}", flush=True)
 
+    # 5. WIDE plan: one fused layer at the scale-0 geometry (Lp=2176,
+    #    ~38 MB f32 scratch under the raised VMEM ceiling) — validates the
+    #    DRBA_FUSED_LAYER_WIDE gate independently of the scale-1 plan
+    b0, h0, w0 = 4, 68, 120
+    x0 = jnp.asarray(rng.normal(size=(b0, h0, w0, c)) * 0.5, dt)
+    base0 = "transformer.layers.0.self_attn"
+    wqkv0 = jnp.concatenate(
+        [p[f"{base0}.{n}.weight"] for n in ("q_proj", "k_proj", "v_proj")],
+        axis=1)
+    one_self0 = jax.jit(functools.partial(transformer_layer_mxu, k_splits=2))
+    timeit("1 fused self layer WIDE (scale0, b=4)", one_self0, x0, wqkv0,
+           p[f"{base0}.merge.weight"],
+           (p[f"{base0}.norm1.weight"], p[f"{base0}.norm1.bias"]))
+
 
 if __name__ == "__main__":
     main()
