@@ -344,7 +344,11 @@ def main():
     args = ap.parse_args()
 
     if args.config:
-        names = list(CONFIGS) if args.config == "all" else [args.config]
+        # 'all' excludes the e2e configs: they spawn CLI subprocesses that
+        # need the TPU while the parent would still hold a live client —
+        # run them as their own processes (scripts/tpu_battery_r5.sh)
+        names = ([n for n in CONFIGS if not n.startswith("e2e")]
+                 if args.config == "all" else [args.config])
         breakdown = {}
         if os.path.exists(BREAKDOWN_PATH):
             breakdown = json.load(open(BREAKDOWN_PATH))

@@ -37,4 +37,8 @@ run profile_gmfss_r5 2400 python scripts/profile_gmfss.py
 # 3. Full config sweep + headline at HEAD (includes the new e2e CLI
 #    pipeline configs, VERDICT r4 item 5).
 run bench_all_r5     10800 python bench.py --config all
+# 3b. Real-pipeline e2e configs in their own processes (the parent must not
+#     hold a TPU client while the CLI subprocess runs).
+run bench_e2e_r5      5400 python bench.py --config e2e
+run bench_e2e_gmfss_r5 5400 python bench.py --config e2e_gmfss
 run bench_headline_r5 1800 python bench.py
