@@ -341,6 +341,9 @@ def main():
                     choices=list(CONFIGS) + ["all"],
                     help="measure one evaluation config (or 'all') and save "
                          "to bench_breakdown.json")
+    ap.add_argument("--no-save", action="store_true", default=False,
+                    help="don't write bench_breakdown.json (for env-variant "
+                         "measurements that are not the default path)")
     args = ap.parse_args()
 
     if args.config:
@@ -380,7 +383,8 @@ def main():
             breakdown[name] = entry
             # save after EVERY config so a crash mid-battery keeps the
             # finished entries
-            json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
+            if not args.no_save:
+                json.dump(breakdown, open(BREAKDOWN_PATH, "w"), indent=1)
         if failed:
             raise SystemExit(f"configs failed: {failed}")
         return

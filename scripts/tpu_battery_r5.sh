@@ -34,6 +34,12 @@ run exp_union_r5 7200 python scripts/exp_union_r5.py
 # 2. Per-stage profilers at HEAD (VERDICT r4 weak 6 / next 7).
 run profile_rife_r5  2400 python scripts/profile_rife.py
 run profile_gmfss_r5 2400 python scripts/profile_gmfss.py
+# 2b. Candidate-default variants at the window-bench level: measure the
+#     opt-in paths' real effect on the gmfss config so the default flip is
+#     a one-line change once justified. (Env switches are read at trace
+#     time; each variant gets its own process.)
+run bench_gmfss_fusedlayer 3600 env DRBA_ENABLE_FUSED_LAYER=1 python bench.py --config gmfss --no-save
+run bench_gmfss_fusedwide  3600 env DRBA_ENABLE_FUSED_LAYER=1 DRBA_FUSED_LAYER_WIDE=1 python bench.py --config gmfss --no-save
 # 3. Full config sweep + headline at HEAD (includes the new e2e CLI
 #    pipeline configs, VERDICT r4 item 5).
 run bench_all_r5     10800 python bench.py --config all
