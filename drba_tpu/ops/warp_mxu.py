@@ -31,12 +31,18 @@ is the default; the variant is kept for re-evaluation on future toolchains.
 
 Semantics match ops.warp.backwarp with ``padding_mode='border'``
 (reference: models/rife_426_heavy/warplayer.py:8-22) EXACTLY for every pixel
-whose integer source coords fit its tile's window: horizontally
-|x0 - tile mid-range| <= (WW-130)/2 (127 px at the default WW=384) and
-vertically within ~(WH-10)/2 rows (11 at WH=32). Pixels beyond that (extreme
-flow divergence inside one tile) clamp to the window edge — a localized,
-bounded deviation quantified in tests/test_warp_mxu.py. Use
-``coverage_fraction`` to measure it for a given flow field.
+whose integer source coords fit its tile's window. With the floor(min)
+anchor the guaranteed intra-tile source span is WW-130 columns / WH-9 rows,
+plus up to one quantum (127 cols / 7 rows) opportunistically by start
+phase. Pixels beyond that (extreme flow divergence inside one tile) clamp
+to the window edge — a localized, bounded deviation quantified in
+tests/test_warp_mxu.py. Use ``coverage_fraction`` to measure it for a given
+flow field. Round-5 sweep at the hot (6,1088,1920,19) geometry
+(.tpu_results/exp_warp_r5.log): the default (16,256) runs 21.78 ms vs
+40.12 for round-4's (32,384) with BETTER measured coverage than the old
+centered anchor (jittered pan8/pan40/zoom12: 0.99997/1.0/0.998 vs
+0.999/0.985/- in round 4); (32,384) now covers those flows exactly
+(cov=1.0, zero mismatch) for callers that need the wide margin.
 
 Layout notes (Mosaic): the window is stored (C, WH, WW) so the (C*WH, WW)
 matmul view is a free reshape (WH is a sublane-tile multiple for both f32 and
@@ -301,7 +307,7 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
+def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 16, ww: int = 256) -> jax.Array:
     """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
 
     Requires H % 8 == 0 and W >= ww - 128 (the caller falls back to
@@ -335,7 +341,7 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 384) -
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww", "spread"))
 def sample_positions_mxu(img: jax.Array, px: jax.Array, py: jax.Array,
-                         wh: int = 32, ww: int = 384,
+                         wh: int = 16, ww: int = 256,
                          spread: float = 0.0) -> jax.Array:
     """Bilinear-sample img (B,H,W,C) at absolute positions (B,Ho,Wo) with
     border clamping -> (B,Ho,Wo,C). The output grid is arbitrary — the
@@ -401,7 +407,7 @@ def warp_downsample2_mxu(img: jax.Array, flow: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def coverage_fraction(flow: jax.Array, wh: int = 32, ww: int = 384) -> jax.Array:
+def coverage_fraction(flow: jax.Array, wh: int = 16, ww: int = 256) -> jax.Array:
     """Fraction of pixels whose source coords fit their tile's window (the
     set on which backwarp_mxu is exact vs the gather reference)."""
     _, h, w, _ = flow.shape
