@@ -65,6 +65,22 @@ def run_window(model_name: str, h: int, w: int):
     from drba_tpu.convert import from_torch_state_dict
     from drba_tpu.ops import ssim_matlab
 
+    # DRBA_ORACLE_CFG="warp_backend=gather,drm_splat_scale=1.0,..." overrides
+    # Config fields for gap diagnosis (scripts/exp_oracle_diag.py): which
+    # fast-path default prices the SSIM gap vs the torch oracle.
+    cfg = DEFAULT
+    for kv in filter(None, os.environ.get("DRBA_ORACLE_CFG", "").split(",")):
+        k, v = kv.split("=")
+        if k == "compute_dtype":
+            import jax.numpy as _jnp
+
+            cfg = cfg.replace(compute_dtype=getattr(_jnp, v))
+        elif k in ("drm_splat_scale", "flow_scale"):
+            cfg = cfg.replace(**{k: float(v)})
+        else:
+            cfg = cfg.replace(**{k: v})
+    DEFAULT = cfg
+
     if model_name == "rife":
         from models.rife import RIFE as TorchRIFE
         from models.rife_426_heavy.IFNet_HDv3 import IFNet

@@ -16,6 +16,12 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "[battery-b] $name rc=$? $(date -u +%FT%TZ)" >>"$OUT/probe.log"
 }
 
+# Production-oracle gap diagnosis: which fast-path default prices each
+# path's SSIM miss (round-5 battery, exp_oracle_prod.log: rife 0.99398 /
+# gmfss 0.98803 / union 0.86962 vs the 0.995 gate).
+run oracle_diag_rife  7200 python scripts/exp_oracle_diag.py rife
+run oracle_diag_gmfss 7200 python scripts/exp_oracle_diag.py gmfss f32 splat_scatter all_exact
+run oracle_diag_union 5400 python scripts/exp_oracle_diag.py gmfss_union f32 all_exact
 # Fused attn-layer QUALITY gate: torch-oracle parity of the gmfss window
 # with the fused layer on (the measured flow maxdiff of 2.0 px vs unfused
 # needs a frame-level SSIM verdict before any default flip).
