@@ -16,6 +16,12 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "[battery-b] $name rc=$? $(date -u +%FT%TZ)" >>"$OUT/probe.log"
 }
 
+# Warp-window geometry re-decision: the round-5 (16,256) default flip was
+# justified by pan/zoom probes that are trivially smooth vertically; the
+# added motion-boundary probes price the real-content case (opposing
+# regions; CPU tests measured cov 0.59-0.91 on vertically-sheared flows at
+# (16,256) vs 1.0 at (32,384)). Re-pick the default from this sweep.
+run exp_warp_bnd      5400 python scripts/exp_warp_r5.py
 # Production-oracle gap diagnosis: which fast-path default prices each
 # path's SSIM miss (round-5 battery, exp_oracle_prod.log: rife 0.99398 /
 # gmfss 0.98803 / union 0.86962 vs the 0.995 gate).
