@@ -25,9 +25,11 @@ run exp_warp_bnd      5400 python scripts/exp_warp_r5.py
 # Production-oracle gap diagnosis: which fast-path default prices each
 # path's SSIM miss (round-5 battery, exp_oracle_prod.log: rife 0.99398 /
 # gmfss 0.98803 / union 0.86962 vs the 0.995 gate).
-run oracle_diag_rife  7200 python scripts/exp_oracle_diag.py rife
-run oracle_diag_gmfss 7200 python scripts/exp_oracle_diag.py gmfss f32 splat_scatter all_exact
-run oracle_diag_union 5400 python scripts/exp_oracle_diag.py gmfss_union f32 all_exact
+run oracle_diag_rife  7200 python scripts/exp_oracle_diag.py rife default warp_gather exact_drm splat_ov ov_exactdrm f32
+run oracle_diag_gmfss 9000 python scripts/exp_oracle_diag.py gmfss f32 splat_scatter exact_drm splat_ov ov_exactdrm all_exact
+run oracle_diag_union 7200 python scripts/exp_oracle_diag.py gmfss_union f32 splat_ov ov_exactdrm all_exact
+# overflow-cascade splat: lowering + parity + window-cost on the real TPU
+run exp_splat_ov      5400 python scripts/exp_splat_ov.py
 # Fused attn-layer QUALITY gate: torch-oracle parity of the gmfss window
 # with the fused layer on (the measured flow maxdiff of 2.0 px vs unfused
 # needs a frame-level SSIM verdict before any default flip).
