@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
-VARIANTS = [(32, 384), (32, 256), (16, 384), (16, 256)]
+VARIANTS = [(32, 384), (32, 256), (24, 384), (24, 256), (16, 384), (16, 256)]
 ITERS = 8
 
 
