@@ -22,6 +22,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 #    the motion-boundary probes price the real-content case (CPU tests
 #    measured cov 0.59-0.91 on vertically-sheared flows at (16,256) vs 1.0
 #    at (32,384); profile_rife_r5 shows wh, not ww, drives the cost).
+run exp_warp_gate     5400 python scripts/exp_warp_gate.py
 run exp_warp_bnd      5400 python scripts/exp_warp_r5.py
 # 2. Overflow-cascade splat: lowering + parity + window-cost on real TPU
 #    (gates flipping splat auto -> stencil_ov).
