@@ -133,7 +133,7 @@ def _warp_then_downsample(img: jax.Array, flow: jax.Array, k: int,
     return warped_taps
 
 
-def _use_mxu_warp(warp_backend: str, h: int, w: int, wh: int = 16, ww: int = 256) -> bool:
+def _use_mxu_warp(warp_backend: str, h: int, w: int, wh: int = 32, ww: int = 256) -> bool:
     """Whether the Pallas residual-window warp kernel applies.
 
     NOTE: the MXU kernel reads ``pl.program_id`` for its scalar-prefetch

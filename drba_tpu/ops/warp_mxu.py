@@ -307,7 +307,7 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 16, ww: int = 256) -> jax.Array:
+def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 32, ww: int = 256) -> jax.Array:
     """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
 
     Requires H % 8 == 0 and W >= ww - 128 (the caller falls back to
@@ -341,7 +341,7 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 16, ww: int = 256) -
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww", "spread"))
 def sample_positions_mxu(img: jax.Array, px: jax.Array, py: jax.Array,
-                         wh: int = 16, ww: int = 256,
+                         wh: int = 32, ww: int = 256,
                          spread: float = 0.0) -> jax.Array:
     """Bilinear-sample img (B,H,W,C) at absolute positions (B,Ho,Wo) with
     border clamping -> (B,Ho,Wo,C). The output grid is arbitrary — the
@@ -407,7 +407,7 @@ def warp_downsample2_mxu(img: jax.Array, flow: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def coverage_fraction(flow: jax.Array, wh: int = 16, ww: int = 256) -> jax.Array:
+def coverage_fraction(flow: jax.Array, wh: int = 32, ww: int = 256) -> jax.Array:
     """Fraction of pixels whose source coords fit their tile's window (the
     set on which backwarp_mxu is exact vs the gather reference)."""
     _, h, w, _ = flow.shape
