@@ -29,6 +29,10 @@ VARIANTS = {
     "f32": "compute_dtype=float32",
     "all_exact": ("warp_backend=gather,drm_splat_scale=1.0,"
                   "splat_backend=scatter,compute_dtype=float32"),
+    # overflow-cascade candidates (round-5, ops/softsplat.py:_splat_overflow)
+    "splat_ov": "splat_backend=stencil_ov",
+    "ov_exactdrm": "splat_backend=stencil_ov,drm_splat_scale=1.0",
+    "ov_f32": "splat_backend=stencil_ov,compute_dtype=float32",
 }
 
 

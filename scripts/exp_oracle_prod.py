@@ -25,6 +25,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+# honor DRBA_PLATFORM like the CLI: the axon sitecustomize pins
+# JAX_PLATFORMS=axon, so a plain env var cannot force CPU (CLAUDE.md)
+if os.environ.get("DRBA_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["DRBA_PLATFORM"])
+
 GATE = 0.995
 TS = [0.5, 0.9, 1.3]
 

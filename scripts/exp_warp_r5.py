@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
-VARIANTS = [(32, 384), (32, 256), (16, 384), (16, 256), (16, 512)]
+VARIANTS = [(32, 384), (32, 256), (16, 384), (16, 256)]
 ITERS = 8
 
 
@@ -50,6 +50,18 @@ def run_variant(wh, ww):
         if kind == "pan":
             f = np.tile(np.array([mag, mag * 0.3], np.float32), (B, H, W, 1))
             f += rng.normal(0, 0.5, (B, H, W, 2)).astype(np.float32)
+        elif kind == "boundary":
+            # foreground band vs background moving oppositely (the hard
+            # real-content case the round-5 pan/zoom probes missed: a tile
+            # straddling the boundary sees the FULL relative motion as
+            # intra-tile source spread; (16,*) windows only guarantee 7
+            # rows of vertical spread, tests/test_warp_mxu.py)
+            f = np.tile(np.array([-mag, -mag * 0.35], np.float32),
+                        (B, H, W, 1))
+            yy = np.mgrid[0:H][:, None]
+            band = ((yy > H * 0.3) & (yy < H * 0.6))[None, ..., None]
+            f = np.where(band, np.array([mag, mag * 0.7], np.float32), f)
+            f += rng.normal(0, 0.5, (B, H, W, 2)).astype(np.float32)
         else:  # zoom: divergent
             yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
             fx = (xx - W / 2) / (W / 2) * mag
@@ -58,7 +70,8 @@ def run_variant(wh, ww):
         return jnp.asarray(f)
 
     ref_fn = jax.jit(backwarp)
-    for kind, mag in (("pan", 8.0), ("pan", 40.0), ("zoom", 12.0)):
+    for kind, mag in (("pan", 8.0), ("pan", 40.0), ("zoom", 12.0),
+                      ("boundary", 10.0), ("boundary", 25.0)):
         fl = flow_field(mag, kind)
         cov = float(coverage_fraction(fl, wh=wh, ww=ww))
         ref = np.asarray(ref_fn(img, fl).astype(jnp.float32))
