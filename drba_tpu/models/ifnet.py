@@ -133,8 +133,11 @@ def _warp_then_downsample(img: jax.Array, flow: jax.Array, k: int,
     return warped_taps
 
 
-def _use_mxu_warp(warp_backend: str, h: int, w: int, wh: int = 16, ww: int = 256) -> bool:
+def _use_mxu_warp(warp_backend: str, h: int, w: int,
+                  wh: int = None, ww: int = None) -> bool:
     """Whether the Pallas residual-window warp kernel applies.
+
+    Window geometry defaults follow ops.warp_mxu (DRBA_WARP_WIN hook).
 
     NOTE: the MXU kernel reads ``pl.program_id`` for its scalar-prefetch
     indexing, so it must never be traced under ``vmap`` — callers batch
@@ -142,6 +145,11 @@ def _use_mxu_warp(warp_backend: str, h: int, w: int, wh: int = 16, ww: int = 256
     edge-padded inside the kernel wrapper, so only H-alignment and a minimum
     extent are required here.
     """
+    if wh is None or ww is None:
+        from drba_tpu.ops.warp_mxu import _DEF_WH, _DEF_WW
+
+        wh = _DEF_WH if wh is None else wh
+        ww = _DEF_WW if ww is None else ww
     shapes_ok = h % 8 == 0 and h >= wh and (w + 127) // 128 * 128 >= ww
     if warp_backend == "mxu":
         return shapes_ok

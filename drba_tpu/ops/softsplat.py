@@ -187,6 +187,91 @@ def _splat_shift(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array
     return out.astype(ten.dtype)
 
 
+def _pool_sum(x: jax.Array, s: int) -> jax.Array:
+    """Block-sum (N,H,W,C) by s x s (H, W padded up to multiples of s)."""
+    n, h, w, c = x.shape
+    hp, wp = -(-h // s) * s, -(-w // s) * s
+    if (hp, wp) != (h, w):
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    return x.reshape(n, hp // s, s, wp // s, s, c).sum(axis=(2, 4))
+
+
+def _splat_overflow(x32: jax.Array, flow: jax.Array, radius: int,
+                    backend_fn, factors=(8, 64)) -> jax.Array:
+    """Coarse-cascade accumulation of the contributions the dense fast path
+    drops (|displacement| > radius): pool them ``s x s`` down, splat at the
+    coarse resolution with the same dense backend (radius covers
+    ``s * radius`` px of fine motion), and mass-conservatively upsample into
+    the fine accumulator.
+
+    Sound because splat flow fields are piecewise-smooth at the block scale
+    by construction — GMFlow convex-upsamples flow from a 1/8 grid
+    (reference models/gmflow/gmflow.py:67-90) and DRM maps are smooth ratio
+    fields — so a block's dropped contributions share a target up to small
+    intra-block spread; the pooled splat places their summed mass at the
+    count-mean target with <= s/2 px placement error plus the coarse
+    bilinear spread (a localized blur, not a loss). The reference's CUDA
+    kernel places every contribution exactly (models/softsplat/
+    softsplat.py:306-367); with the cascade the fast path conserves the
+    mass of far-displaced content instead of dropping it, which is what
+    dominated the production-oracle SSIM gap under large flows
+    (docs/ROADMAP.md round-5).
+
+    Levels partition by displacement: level ``s`` takes the dropped pixels
+    whose target lies within ``s * (radius - 1)`` of their block center;
+    beyond the last level the contribution is dropped as before (on real
+    content that is only the reference's own sentinel holes, whose targets
+    are out of frame and dropped by the reference too).
+    """
+    n, h, w, _ = x32.shape
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    u = flow[..., 0].astype(jnp.float32)
+    v = flow[..., 1].astype(jnp.float32)
+    finite = jnp.isfinite(u) & jnp.isfinite(v)
+    u = jnp.where(finite, u, 1e9)
+    v = jnp.where(finite, v, 1e9)
+    fx = gx + u
+    fy = gy + v
+    r = float(radius)
+    # the fine pass fully drops a contribution iff one axis' displacement
+    # has BOTH bilinear corners outside +-radius (see _splat_shift's
+    # sel_x0/sel_x1 enumeration): u >= r+1 or u < -r-1
+    far = ((u >= r + 1.0) | (u < -r - 1.0) | (v >= r + 1.0)
+           | (v < -r - 1.0)) & finite
+
+    total = None
+    handled = jnp.zeros_like(far)
+    for s in factors:
+        cgx = (jnp.floor(gx / s) + 0.5) * s  # block centers, fine coords
+        cgy = (jnp.floor(gy / s) + 0.5) * s
+        margin = s * (r - 1.0)
+        covered = (jnp.abs(fx - cgx) <= margin) & (jnp.abs(fy - cgy) <= margin)
+        m = (far & covered & ~handled).astype(jnp.float32)[..., None]
+        handled = handled | (covered & far)
+
+        cnt = _pool_sum(m, s)
+        xs = _pool_sum(x32 * m, s)
+        tx = _pool_sum(fx[..., None] * m, s) / jnp.maximum(cnt, 1.0)
+        ty = _pool_sum(fy[..., None] * m, s) / jnp.maximum(cnt, 1.0)
+        hc, wc = xs.shape[1], xs.shape[2]
+        ccx = (jnp.arange(wc, dtype=jnp.float32)[None, None, :] + 0.5) * s
+        ccy = (jnp.arange(hc, dtype=jnp.float32)[None, :, None] + 0.5) * s
+        # coarse-grid displacement toward the pooled mean target; empty
+        # blocks get a far out-of-range finite flow, which every backend
+        # drops deterministically (finite so no NaN enters the kernels)
+        empty = cnt[..., 0] == 0.0
+        cu = jnp.where(empty, 1e9, (tx[..., 0] - ccx) / s)
+        cv = jnp.where(empty, 1e9, (ty[..., 0] - ccy) / s)
+        cflow = jnp.stack([cu, cv], axis=-1)
+        acc = backend_fn(xs, cflow, radius=radius).astype(jnp.float32)
+        up = jax.image.resize(acc, (n, hc * s, wc * s, acc.shape[-1]),
+                              "bilinear") / (s * s)
+        up = up[:, :h, :w]
+        total = up if total is None else total + up
+    return total
+
+
 def _splat_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array:
     """Pallas dense-stencil kernel backend (see splat_stencil.py).
 
@@ -200,11 +285,27 @@ def _splat_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Arr
     return splat_nhwc_stencil(ten, flow, radius=radius)
 
 
+def _splat_shift_ov(ten, flow, radius=12):
+    """'shift' + the coarse overflow cascade for far displacements."""
+    return (_splat_shift(ten, flow, radius=radius).astype(jnp.float32)
+            + _splat_overflow(ten.astype(jnp.float32), flow, radius,
+                              _splat_shift)).astype(ten.dtype)
+
+
+def _splat_stencil_ov(ten, flow, radius=12):
+    """'stencil' + the coarse overflow cascade for far displacements."""
+    return (_splat_stencil(ten, flow, radius=radius).astype(jnp.float32)
+            + _splat_overflow(ten.astype(jnp.float32), flow, radius,
+                              _splat_stencil)).astype(ten.dtype)
+
+
 _BACKENDS = {
     "scatter": _splat_scatter,
     "sort": _splat_sort,
     "shift": _splat_shift,
     "stencil": _splat_stencil,
+    "shift_ov": _splat_shift_ov,
+    "stencil_ov": _splat_stencil_ov,
 }
 
 
@@ -275,12 +376,12 @@ def softsplat(
         x = jnp.concatenate([x * mexp, mexp], axis=-1)
 
     name = _resolve_backend(backend)
-    if name == "stencil" and ten.dtype == jnp.bfloat16:
+    if name.startswith("stencil") and ten.dtype == jnp.bfloat16:
         # bf16 inputs stream through the kernel's VMEM in bf16 (half the
         # value DMA/footprint); weights + accumulation stay f32, so the
         # result matches the input's own precision
         out = _BACKENDS[name](x.astype(jnp.bfloat16), flow, radius=radius)
-    elif name in ("shift", "stencil"):
+    elif name in ("shift", "stencil", "shift_ov", "stencil_ov"):
         out = _BACKENDS[name](x, flow, radius=radius)
     else:
         out = _BACKENDS[name](x, flow)

@@ -61,6 +61,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+# Default residual-window geometry (wh rows, ww cols). DRBA_WARP_WIN="wh,ww"
+# overrides at import time for decision sweeps (static at trace time);
+# callers may always pass wh/ww explicitly per call.
+_DEF_WH, _DEF_WW = (int(v) for v in
+                    os.environ.get("DRBA_WARP_WIN", "32,256").split(","))
+
 TH, TW = 8, 128  # output tile
 
 
@@ -307,7 +314,7 @@ def _sample_chw(img_chw: jax.Array, px: jax.Array, py: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 16, ww: int = 256) -> jax.Array:
+def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = _DEF_WH, ww: int = _DEF_WW) -> jax.Array:
     """Backward-warp ``img (B,H,W,C)`` by ``flow (B,H,W,2)``, border padding.
 
     Requires H % 8 == 0 and W >= ww - 128 (the caller falls back to
@@ -341,7 +348,7 @@ def backwarp_mxu(img: jax.Array, flow: jax.Array, wh: int = 16, ww: int = 256) -
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww", "spread"))
 def sample_positions_mxu(img: jax.Array, px: jax.Array, py: jax.Array,
-                         wh: int = 16, ww: int = 256,
+                         wh: int = _DEF_WH, ww: int = _DEF_WW,
                          spread: float = 0.0) -> jax.Array:
     """Bilinear-sample img (B,H,W,C) at absolute positions (B,Ho,Wo) with
     border clamping -> (B,Ho,Wo,C). The output grid is arbitrary — the
@@ -407,7 +414,7 @@ def warp_downsample2_mxu(img: jax.Array, flow: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("wh", "ww"))
-def coverage_fraction(flow: jax.Array, wh: int = 16, ww: int = 256) -> jax.Array:
+def coverage_fraction(flow: jax.Array, wh: int = _DEF_WH, ww: int = _DEF_WW) -> jax.Array:
     """Fraction of pixels whose source coords fit their tile's window (the
     set on which backwarp_mxu is exact vs the gather reference)."""
     _, h, w, _ = flow.shape

@@ -78,34 +78,80 @@ class _Prefetcher:
 
 
 class _Emitter:
-    """Download+encode thread: drains finished device frames in order.
+    """Parallel download pool + ordered encode writer.
 
-    On a write failure the loop keeps draining (so ``emit`` never deadlocks
-    on a full queue) and the error re-raises on the main thread at the next
-    ``emit``/``finish`` — e.g. ffmpeg dying mid-run (broken pipe) aborts the
-    run with the real error instead of piling frames until a join timeout."""
+    Round-5 e2e profile: a single drain thread downloads one frame per
+    relay round-trip (~2.2 s per 6.2 MB uint8 1080p frame on the axon
+    relay), leaving the device idle — the e2e CLI measured 0.39 fps against
+    a 19 fps window program. Downloads (``to_out``: device-side
+    resize+quantize, then the host copy) are independent per frame, so a
+    small thread pool overlaps the round-trips; the writer thread restores
+    emission order by sequence number before piping into ffmpeg. A
+    semaphore bounds total in-flight frames end-to-end, preserving
+    backpressure on the compute loop.
 
-    def __init__(self, video_io, src_size, stats, depth: int = 8):
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
+    On a download/write failure the pool keeps draining (so ``emit`` never
+    deadlocks) and the error re-raises on the main thread at the next
+    ``emit``/``finish``. ``finish`` raises if the pipeline cannot drain
+    (instead of silently truncating on a join timeout)."""
+
+    def __init__(self, video_io, src_size, stats, depth: int = 12,
+                 workers: int | None = None):
+        import os as _os
+
+        workers = workers or int(_os.environ.get("DRBA_EMIT_WORKERS", "4"))
+        self._sem = threading.Semaphore(depth)
+        self._q: queue.Queue = queue.Queue()
+        self._results: dict[int, Optional[object]] = {}
+        self._cond = threading.Condition()
         self._video_io = video_io
         self._src_size = src_size
         self._stats = stats
         self._exc: Optional[BaseException] = None
-        self._t = threading.Thread(target=self._loop, daemon=True)
-        self._t.start()
+        self._seq = 0
+        self._eof_seq: Optional[int] = None
+        self._workers = [
+            threading.Thread(target=self._dl_loop, daemon=True)
+            for _ in range(max(1, workers))
+        ]
+        for t in self._workers:
+            t.start()
+        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer.start()
 
-    def _loop(self):
+    def _dl_loop(self):
         while True:
-            x = self._q.get()
-            if x is None:
+            item = self._q.get()
+            if item is None:
                 return
-            if self._exc is not None:
-                continue  # drain mode: unblock the producer, drop frames
-            try:
-                self._video_io.write_frame(to_out(x, self._src_size))
-                self._stats.frames_out += 1
-            except BaseException as e:
-                self._exc = e
+            seq, x = item
+            arr = None
+            if self._exc is None:
+                try:
+                    arr = to_out(x, self._src_size)
+                except BaseException as e:
+                    self._exc = self._exc or e
+            with self._cond:
+                self._results[seq] = arr
+                self._cond.notify_all()
+
+    def _write_loop(self):
+        nxt = 0
+        while True:
+            with self._cond:
+                while nxt not in self._results:
+                    if self._eof_seq is not None and nxt >= self._eof_seq:
+                        return
+                    self._cond.wait(timeout=1.0)
+                arr = self._results.pop(nxt)
+            nxt += 1
+            self._sem.release()
+            if arr is not None and self._exc is None:
+                try:
+                    self._video_io.write_frame(arr)
+                    self._stats.frames_out += 1
+                except BaseException as e:
+                    self._exc = self._exc or e
 
     def _check(self):
         if self._exc is not None:
@@ -113,11 +159,23 @@ class _Emitter:
 
     def emit(self, x):
         self._check()
-        self._q.put(x)
+        self._sem.acquire()
+        self._q.put((self._seq, x))
+        self._seq += 1
 
     def finish(self):
-        self._q.put(None)
-        self._t.join(timeout=600)
+        for _ in self._workers:
+            self._q.put(None)
+        for t in self._workers:
+            t.join(timeout=900)
+        with self._cond:
+            self._eof_seq = self._seq
+            self._cond.notify_all()
+        self._writer.join(timeout=900)
+        if any(t.is_alive() for t in self._workers) or self._writer.is_alive():
+            raise RuntimeError(
+                "emitter could not drain (download/encode stalled); "
+                f"{self._stats.frames_out}/{self._seq} frames written")
         self._check()
 
 
