@@ -408,6 +408,7 @@ def main():
             conv_backend="xla",
         )
         os.environ["DRBA_DISABLE_FUSED_ATTN"] = "1"
+        os.environ["DRBA_DISABLE_FUSED_LAYER"] = "1"
         fps = bench_rife()
         note = f"safe-fallback backends (default path failed: {type(e).__name__})"
     result = {

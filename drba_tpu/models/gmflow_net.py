@@ -360,23 +360,27 @@ def _transformer_layer(p: Params, base: str, source, target, num_splits: int,
 
 
 def _fused_layer_on(h: int, w: int, attn_splits: int, c: int) -> bool:
-    """Gate for the whole-layer fused kernel (ops/attn_layer.py): OPT-IN via
-    ``DRBA_ENABLE_FUSED_LAYER=1`` until a real-TPU run validates lowering AND
-    a timing win (CLAUDE.md round-4 rule: new Pallas kernels are presumed
-    broken/slower until a TPU run proves otherwise — the round-4 version
-    shipped default-ON with an erfc that Mosaic cannot lower,
-    .tpu_results/exp_attn_layer.log)."""
+    """Gate for the whole-layer fused kernel (ops/attn_layer.py).
+
+    Default-ON since the round-5 real-TPU validation (CLAUDE.md round-4
+    rule satisfied — the round-4 erfc version could not lower and shipped
+    opt-in until then): .tpu_results/exp_attn_layer_r5.log ran all stages
+    rc=0 at batch 4 (erfc-free exact GELU), gmflow bidir 58.15 ms fused vs
+    77.01 unfused, and the gmfss window bench measured 11.58 vs 10.66
+    interp-fps (+8.6%, bench_gmfss_fusedlayer.log). Kill switch:
+    ``DRBA_DISABLE_FUSED_LAYER=1`` (bench.py's safe-fallback sets it)."""
     import os
 
     from drba_tpu.ops.attn_layer import layer_mxu_supported
 
-    if not os.environ.get("DRBA_ENABLE_FUSED_LAYER"):
+    if os.environ.get("DRBA_DISABLE_FUSED_LAYER"):
         return False
     from drba_tpu.ops.attn_layer import _SCORE_BYTES_WIDE
 
     # DRBA_FUSED_LAYER_WIDE=1 additionally admits the scale-0 geometry
-    # (Lp=2176, ~38 MB f32 scratch under the raised VMEM ceiling) — its own
-    # switch so the battery can validate the two plans independently
+    # (Lp=2176, ~38 MB f32 scratch under the raised VMEM ceiling) — still
+    # opt-in: it measured only +0.8% over the narrow plan (11.67 vs 11.58)
+    # and carries the untested 2x scoped-vmem stack estimate at Lp=2176
     budget = (_SCORE_BYTES_WIDE
               if os.environ.get("DRBA_FUSED_LAYER_WIDE") else None)
     kw = {} if budget is None else {"score_bytes_max": budget}

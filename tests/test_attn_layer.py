@@ -65,10 +65,11 @@ def test_gelu_exact_bf16_bitparity():
 
 
 def test_kill_switch(monkeypatch):
-    # opt-in: OFF unless DRBA_ENABLE_FUSED_LAYER=1 (round-4 lesson — the
-    # kernel shipped default-ON with an erfc Mosaic could not lower)
+    # default-ON since the round-5 real-TPU validation
+    # (exp_attn_layer_r5.log rc=0, +8.6% gmfss bench);
+    # DRBA_DISABLE_FUSED_LAYER=1 is the operational kill switch
     monkeypatch.setattr(gm, "_fused_attention_on", lambda: True)
-    monkeypatch.delenv("DRBA_ENABLE_FUSED_LAYER", raising=False)
-    assert not gm._fused_layer_on(136, 240, 8, 128)
-    monkeypatch.setenv("DRBA_ENABLE_FUSED_LAYER", "1")
+    monkeypatch.delenv("DRBA_DISABLE_FUSED_LAYER", raising=False)
     assert gm._fused_layer_on(136, 240, 8, 128)
+    monkeypatch.setenv("DRBA_DISABLE_FUSED_LAYER", "1")
+    assert not gm._fused_layer_on(136, 240, 8, 128)
