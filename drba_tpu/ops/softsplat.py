@@ -240,7 +240,7 @@ def _splat_overflow(x32: jax.Array, flow: jax.Array, radius: int,
     far = ((u >= r + 1.0) | (u < -r - 1.0) | (v >= r + 1.0)
            | (v < -r - 1.0)) & finite
 
-    total = None
+    accs = []  # [(factor, coarse accumulation)]
     handled = jnp.zeros_like(far)
     for s in factors:
         cgx = (jnp.floor(gx / s) + 0.5) * s  # block centers, fine coords
@@ -264,12 +264,24 @@ def _splat_overflow(x32: jax.Array, flow: jax.Array, radius: int,
         cu = jnp.where(empty, 1e9, (tx[..., 0] - ccx) / s)
         cv = jnp.where(empty, 1e9, (ty[..., 0] - ccy) / s)
         cflow = jnp.stack([cu, cv], axis=-1)
-        acc = backend_fn(xs, cflow, radius=radius).astype(jnp.float32)
-        up = jax.image.resize(acc, (n, hc * s, wc * s, acc.shape[-1]),
-                              "bilinear") / (s * s)
-        up = up[:, :h, :w]
-        total = up if total is None else total + up
-    return total
+        accs.append((s, backend_fn(xs, cflow, radius=radius)
+                     .astype(jnp.float32)))
+
+    # Single full-resolution upsample: coarser levels cascade into the
+    # finest coarse grid first (tiny resizes), so the expensive fine-res
+    # bilinear pass runs once per call, not once per level. The 1/s^2
+    # factors keep total mass invariant under each upsample.
+    s0, total = accs[0]
+    h0, w0 = total.shape[1], total.shape[2]
+    for s, acc in accs[1:]:
+        k = s // s0
+        up = jax.image.resize(
+            acc, (n, acc.shape[1] * k, acc.shape[2] * k, acc.shape[-1]),
+            "bilinear") / (k * k)
+        total = total + up[:, :h0, :w0]
+    fine = jax.image.resize(total, (n, h0 * s0, w0 * s0, total.shape[-1]),
+                            "bilinear") / (s0 * s0)
+    return fine[:, :h, :w]
 
 
 def _splat_stencil(ten: jax.Array, flow: jax.Array, radius: int = 12) -> jax.Array:
