@@ -64,6 +64,16 @@ def parse_args(argv=None):
                         "(default: half resolution — exact for rigid motion, "
                         "smooths flow-estimation jitter; see "
                         "Config.drm_splat_scale)")
+    p.add_argument("--splat-backend", dest="splat_backend", default="auto",
+                   choices=["auto", "scatter", "sort", "shift", "stencil",
+                            "shift_ov", "stencil_ov"],
+                   help="forward-splat implementation (Config.splat_backend)."
+                        " 'stencil_ov' adds the overflow cascade: extreme "
+                        "motion beyond the stencil radius is conserved via "
+                        "coarse-level splats instead of dropped — closes "
+                        "the production-oracle gap at ~2x splat cost "
+                        "(docs/ROADMAP.md round-5); 'scatter' is bit-exact "
+                        "and slowest")
     p.add_argument("--profile", dest="profile", action="store_true", default=False,
                    help="print per-stage wall-clock timings at the end")
     p.add_argument("--seg-frames", dest="seg_frames", type=int, default=0,
@@ -115,6 +125,7 @@ def main(argv=None):
         flow_scale=args.scale,
         scdet_threshold=args.scdet_threshold,
         drm_splat_scale=1.0 if args.exact_drm else 0.5,
+        splat_backend=args.splat_backend,
         strict_load=args.strict,
     )
     model = load_model(args.model_type, args.weights, args.scale, config)
